@@ -16,3 +16,8 @@ backend (ByteDance-Seed/JoltQC) designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+from .utils.cache import enable_persistent_cache as _enable_cache
+
+_enable_cache()
+del _enable_cache

@@ -1,0 +1,91 @@
+"""Deterministic high-precision scatter accumulation for TPU.
+
+The reference accumulates vj/vk/Fock contributions with CUDA
+``atomicAdd`` on FP64 (/root/reference/jqc/backend/jk/1q1t.cu:423-643,
+eval_vxc.cu:357-420).  TPUs have neither atomics nor native f64, and
+float scatter-adds are non-associative (order-dependent rounding).  This
+module provides the TPU-native answer: contributions are decomposed into
+int32 fixed-point limbs and scatter-added with INTEGER arithmetic, which
+is exactly associative -- so the accumulation is bit-deterministic
+regardless of execution order, and exact to 64 bits below the batch's
+max magnitude (beyond DF64 precision).
+
+Contract: at most ~5e5 contributions may target one output element per
+call (int32 headroom: limbs carry <=13 bits, 2^31/2^12 adds).  Callers
+accumulate across calls in DF64 (df64.add is elementwise, no scatter).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import df64 as df
+from .df64 import DF64, _pow2_exact
+
+_LIMB_BITS = 13
+
+
+def _exp_of_max(x_abs_max):
+    """floor(log2(max)) via frexp, guarded for zero."""
+    m = jnp.maximum(x_abs_max, jnp.float32(1e-30))
+    _, e = jnp.frexp(m)
+    return e.astype(jnp.int32)  # m = frac * 2^e, frac in [0.5, 1)
+
+
+def scatter_add_det(values, idx, size: int, nlimb: int = 5) -> DF64:
+    """Deterministic scatter-add: out[idx[n]] += values[n].
+
+    values: DF64 (or plain f32 array) of shape (N,); idx: int32 (N,);
+    returns a DF64 array of shape (size,).  Contributions with
+    idx == size are dropped (padding convention: point pad tasks at
+    ``size`` and allocate one scratch slot).
+    """
+    if not isinstance(values, DF64):
+        values = df.from_f32(values)
+        nlimb = min(nlimb, 3)
+
+    x_abs_max = jnp.max(jnp.abs(values.hi))
+    e = _exp_of_max(x_abs_max)
+    # scale so |x| < 2^12 (symmetric clip so s * inv_s == 1 exactly)
+    sexp = jnp.clip(12 - e, -126, 126)
+    s = _pow2_exact(sexp)
+    x = df.scale_pow2(values, s)
+
+    accs = []
+    for _ in range(nlimb):
+        limb = jnp.round(x.hi)
+        accs.append(limb.astype(jnp.int32))
+        x = df.add_f32(x, -limb)  # exact: |x.hi - limb| <= 0.5
+        x = df.scale_pow2(x, float(2**_LIMB_BITS))
+
+    total = None
+    inv_s = _pow2_exact(-sexp)
+    for k, limb in enumerate(accs):
+        acc = jnp.zeros((size + 1,), jnp.int32).at[idx].add(limb)[:size]
+        # int32 -> exact DF64 (split into two <2^18 halves)
+        hi_part = acc >> _LIMB_BITS
+        lo_part = acc - (hi_part << _LIMB_BITS)
+        val = df.add_f32(
+            df.mul_f32(
+                df.from_f32(hi_part.astype(jnp.float32)), float(2**_LIMB_BITS)
+            ),
+            lo_part.astype(jnp.float32),
+        )
+        # scale back: * 2^{-13k} / s
+        scale_back = float(2.0 ** (-_LIMB_BITS * k))
+        val = df.mul_f32(val, scale_back)
+        val = DF64(val.hi * inv_s, val.lo * inv_s)
+        total = val if total is None else df.add(total, val)
+    return total
+
+
+def scatter_add_det_2d(values, idx, shape, nlimb: int = 5) -> DF64:
+    """Scatter into a 2D (n, m) DF64 output with flat indices."""
+    n, m = shape
+    flat = scatter_add_det(values, idx, n * m, nlimb)
+    return DF64(flat.hi.reshape(n, m), flat.lo.reshape(n, m))
+
+
+__all__ = ["scatter_add_det", "scatter_add_det_2d"]

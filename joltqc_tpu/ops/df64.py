@@ -126,52 +126,111 @@ def from_f32(x) -> DF64:
     return DF64(x, jnp.zeros_like(x))
 
 
-# ---------------------------------------------------------------- EFT cores
+# --------------------------------------------------------------- CPU backend
+#
+# XLA:CPU evaluates fused f32 chains with excess precision / simplifies
+# algebra by default, which collapses error-free transformations like
+# `t - (t - a)` back to `a` and silently destroys the lo limb (observed:
+# broadcast-shaped jitted mul degrading to 5e-8 even under
+# --xla_allow_excess_precision=false).  Two countermeasures:
+#  - EFT cores (two_sum/two_prod) wrap every intermediate in
+#    lax.reduce_precision(8, 23), forcing IEEE f32 rounding.  This is
+#    correct but compiles pathologically slowly when composed into deep
+#    expression chains (boys_df64 at mmax=18: >250 s on CPU).
+#  - Composite ops therefore switch to *native-f64 emulation* on CPU when
+#    jax_enable_x64 is on (the unit-test configuration): promote hi+lo to
+#    f64, compute, split back.  Accuracy (~2^-48) matches real DF64 and
+#    graphs stay lean.  The true EFT path is what runs on TPU, where f32
+#    is exact IEEE (validated bit-exact two_prod on chip) and no barrier
+#    or emulation is needed.
+# Override with JQC_DF64_MODE=eft|emul.
+_MODE = None  # "tpu-eft" | "cpu-eft" | "emul"
+
+
+def _mode() -> str:
+    global _MODE
+    if _MODE is None:
+        import os
+
+        forced = os.environ.get("JQC_DF64_MODE")
+        if forced in ("eft", "emul"):
+            _MODE = "cpu-eft" if forced == "eft" else "emul"
+        elif jax.default_backend() == "cpu":
+            _MODE = "emul" if jax.config.jax_enable_x64 else "cpu-eft"
+        else:
+            _MODE = "tpu-eft"
+    return _MODE
+
+
+def _rp(x):
+    if _mode() == "tpu-eft":
+        return x
+    return jax.lax.reduce_precision(x, 8, 23)
+
+
+def _up(a: DF64):
+    """Promote to native f64 (emulation mode only)."""
+    return a.hi.astype(jnp.float64) + a.lo.astype(jnp.float64)
+
+
+def _down(x) -> DF64:
+    """Split native f64 back into a normalized DF64 pair."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+    return DF64(hi, lo)
+
+
 def two_sum(a, b):
     """Error-free sum: a+b = s+err exactly."""
-    s = a + b
-    bb = s - a
-    err = (a - (s - bb)) + (b - bb)
+    s = _rp(a + b)
+    bb = _rp(s - a)
+    err = _rp(_rp(a - _rp(s - bb)) + _rp(b - bb))
     return s, err
 
 
 def quick_two_sum(a, b):
     """Error-free sum assuming |a| >= |b|."""
-    s = a + b
-    err = b - (s - a)
+    s = _rp(a + b)
+    err = _rp(b - _rp(s - a))
     return s, err
 
 
 def _split(a):
-    t = a * _SPLIT
-    hi = t - (t - a)
-    lo = a - hi
+    t = _rp(a * _SPLIT)
+    hi = _rp(t - _rp(t - a))
+    lo = _rp(a - hi)
     return hi, lo
 
 
 def two_prod(a, b):
     """Error-free product: a*b = p+err exactly (Dekker, FMA-free)."""
-    p = a * b
+    p = _rp(a * b)
     ah, al = _split(a)
     bh, bl = _split(b)
-    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    err = _rp(
+        _rp(_rp(_rp(ah * bh) - p) + _rp(ah * bl) + _rp(al * bh)) + _rp(al * bl)
+    )
     return p, err
 
 
 # ---------------------------------------------------------------- arithmetic
 def add(a: DF64, b: DF64) -> DF64:
+    if _mode() == "emul":
+        return _down(_up(a) + _up(b))
     s, e = two_sum(a.hi, b.hi)
     t, f = two_sum(a.lo, b.lo)
-    e = e + t
+    e = _rp(e + t)
     s, e = quick_two_sum(s, e)
-    e = e + f
+    e = _rp(e + f)
     s, e = quick_two_sum(s, e)
     return DF64(s, e)
 
 
 def add_f32(a: DF64, b) -> DF64:
+    if _mode() == "emul":
+        return _down(_up(a) + jnp.asarray(b, jnp.float32).astype(jnp.float64))
     s, e = two_sum(a.hi, b)
-    e = e + a.lo
+    e = _rp(e + a.lo)
     s, e = quick_two_sum(s, e)
     return DF64(s, e)
 
@@ -181,20 +240,26 @@ def sub(a: DF64, b: DF64) -> DF64:
 
 
 def mul(a: DF64, b: DF64) -> DF64:
+    if _mode() == "emul":
+        return _down(_up(a) * _up(b))
     p, e = two_prod(a.hi, b.hi)
-    e = e + (a.hi * b.lo + a.lo * b.hi)
+    e = _rp(e + _rp(a.hi * b.lo + a.lo * b.hi))
     p, e = quick_two_sum(p, e)
     return DF64(p, e)
 
 
 def mul_f32(a: DF64, b) -> DF64:
+    if _mode() == "emul":
+        return _down(_up(a) * jnp.asarray(b, jnp.float32).astype(jnp.float64))
     p, e = two_prod(a.hi, b)
-    e = e + a.lo * b
+    e = _rp(e + _rp(a.lo * b))
     p, e = quick_two_sum(p, e)
     return DF64(p, e)
 
 
 def div(a: DF64, b: DF64) -> DF64:
+    if _mode() == "emul":
+        return _down(_up(a) / _up(b))
     q1 = a.hi / b.hi
     r = sub(a, mul_f32(b, q1))
     q2 = r.hi / b.hi
@@ -210,6 +275,8 @@ def recip(b: DF64) -> DF64:
 
 def sqrt(a: DF64) -> DF64:
     """sqrt via one Newton step on the f32 estimate (quadratic convergence)."""
+    if _mode() == "emul":
+        return _down(jnp.sqrt(_up(a)))
     x = jax.lax.rsqrt(jnp.maximum(a.hi, jnp.float32(np.finfo(np.float32).tiny)))
     # y0 = a.hi * x ~ sqrt(a); refine: y = y0 + (a - y0^2) * x / 2
     y0 = a.hi * x
@@ -245,6 +312,8 @@ def dfsum(a: DF64, axis=None) -> DF64:
     Uses a sequential fori_loop along the reduced axis (exact up to DF64
     precision); axis=None reduces all axes.
     """
+    if _mode() == "emul":
+        return _down(jnp.sum(_up(a), axis=axis))
     if axis is None:
         flat = DF64(a.hi.reshape(-1), a.lo.reshape(-1))
         n = flat.hi.shape[0]
@@ -277,6 +346,8 @@ def exp(a: DF64) -> DF64:
     Taylor series of degree 13 in DF64 gives |r|^14/14! < 4e-13 * 0.35^14
     ~= 2e-19 truncation -- below DF64 ulp.
     """
+    if _mode() == "emul":
+        return _down(jnp.exp(_up(a)))
     # k = round(a / ln2) computed in f32 is exact for |k| < 2^23
     k = jnp.round(a.hi * np.float32(1.0 / _LN2))
     ln2 = const(_LN2)
@@ -308,6 +379,8 @@ def _pow2_exact(n):
 
 def log(a: DF64) -> DF64:
     """DF64 log via Newton iteration on exp: x_{n+1} = x_n + a*exp(-x_n) - 1."""
+    if _mode() == "emul":
+        return _down(jnp.log(_up(a)))
     x0 = jnp.log(jnp.maximum(a.hi, np.float32(np.finfo(np.float32).tiny)))
     x = DF64(x0, jnp.zeros_like(x0))
     for _ in range(2):

@@ -1,0 +1,2 @@
+from .hf import RHF  # noqa: F401
+from .jk import JKEngine  # noqa: F401

@@ -1,0 +1,104 @@
+"""Restricted Hartree-Fock driver: host SCF loop + TPU J/K Fock builds.
+
+Mirrors the reference's division of labor (PySCF host SCF loop + GPU
+kernels for get_jk, /root/reference/jqc/pyscf/jk.py): the O(N^4) Fock
+build runs on TPU through JKEngine; diagonalization, DIIS, and the
+one-electron matrices (O(N^2)) stay on host in float64.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+from scipy.linalg import eigh
+
+from ..mol import intor_np
+from ..mol.layout import BasisLayout
+from ..mol.molecule import Molecule
+from .diis import DIIS
+from .jk import JKEngine
+
+
+class RHF:
+    def __init__(
+        self,
+        mol: Molecule,
+        conv_tol: float = 1e-10,
+        max_cycle: int = 60,
+        cutoff_fp32: float = 1e-13,
+        cutoff_fp64: float = 1e-6,
+        verbose: int = 0,
+    ):
+        if mol.nelectron % 2:
+            raise ValueError("RHF needs an even electron count")
+        self.mol = mol
+        self.conv_tol = conv_tol
+        self.max_cycle = max_cycle
+        self.verbose = verbose
+        self.layout = BasisLayout(mol)
+        self.jk = JKEngine(self.layout, cutoff_fp32=cutoff_fp32, cutoff_fp64=cutoff_fp64)
+        self.e_tot = None
+        self.mo_coeff = None
+        self.mo_energy = None
+        self.converged = False
+        self.scf_summary: dict = {}
+
+    # ---------------------------------------------------------------- core
+    def get_hcore(self):
+        return intor_np.kinetic(self.mol) + intor_np.nuclear(self.mol)
+
+    def get_ovlp(self):
+        return intor_np.overlap(self.mol)
+
+    def get_veff(self, dm):
+        vj, vk = self.jk.get_jk(dm)
+        return vj - 0.5 * vk
+
+    def init_guess(self, s, h):
+        # core hamiltonian guess
+        _, c = eigh(h, s)
+        nocc = self.mol.nelectron // 2
+        return 2.0 * c[:, :nocc] @ c[:, :nocc].T
+
+    def kernel(self, dm0=None) -> float:
+        t0 = time.time()
+        mol = self.mol
+        s = self.get_ovlp()
+        h = self.get_hcore()
+        e_nuc = mol.energy_nuc()
+        dm = self.init_guess(s, h) if dm0 is None else np.asarray(dm0)
+        diis = DIIS()
+        nocc = mol.nelectron // 2
+        e_last = 0.0
+        jk_time = 0.0
+        for cycle in range(self.max_cycle):
+            t1 = time.time()
+            veff = self.get_veff(dm)
+            jk_time += time.time() - t1
+            f = h + veff
+            e_el = 0.5 * np.einsum("ij,ij->", dm, h + f)
+            e_tot = e_el + e_nuc
+            f_diis = diis.update(s, dm, f)
+            mo_e, mo_c = eigh(f_diis, s)
+            dm = 2.0 * mo_c[:, :nocc] @ mo_c[:, :nocc].T
+            de = e_tot - e_last
+            if self.verbose:
+                print(f"cycle {cycle:2d}  E = {e_tot:.12f}  dE = {de:.2e}")
+            if abs(de) < self.conv_tol and cycle > 0:
+                self.converged = True
+                break
+            e_last = e_tot
+        self.e_tot = e_tot
+        self.mo_energy = mo_e
+        self.mo_coeff = mo_c
+        self.dm = dm
+        self.scf_summary = {
+            "cycles": cycle + 1,
+            "wall_time": time.time() - t0,
+            "jk_time": jk_time,
+        }
+        return e_tot
+
+
+__all__ = ["RHF"]

@@ -17,3 +17,9 @@ if os.environ.get("JQC_TEST_TPU") != "1":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # x64 enables the DF64 native-f64 emulation tier on CPU (see
+    # joltqc_tpu/ops/df64.py: XLA:CPU excess precision breaks the EFT
+    # path, and the reduce_precision workaround compiles too slowly for
+    # the suite).  The true EFT path is exercised on the real chip by
+    # bench.py / JQC_TEST_TPU=1 runs.
+    jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,89 @@
+"""TPU ERI batch engine vs the numpy float64 oracle.
+
+Tolerance tiers mirror the reference spec: DF64 < 1e-12 relative-ish
+(FP64 tier), f32 < 1e-5 (FP32 tier) -- cf. the 1e-7 / 1e-3 vj/vk bounds
+in /root/reference/jqc/pyscf/tests/test_jk.py:83,120.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from joltqc_tpu.mol.molecule import Shell
+from joltqc_tpu.mol import intor_np
+from joltqc_tpu.mol.basis import normalize_contraction
+from joltqc_tpu.ops import df64 as df
+from joltqc_tpu.ops.eri import contracted_eri_batch
+
+
+def _rand_shell(l, nprim, rng, scale=1.0):
+    exps = rng.uniform(0.2, 3.0, nprim) * scale
+    coeffs = normalize_contraction(l, exps, rng.uniform(0.5, 1.0, nprim))
+    coord = rng.uniform(-1.5, 1.5, 3)
+    return Shell(l, exps, coeffs, coord, 0)
+
+
+def _pack(shells_by_center, tier):
+    """Pack T quartets (lists of Shell per center) into batch arrays."""
+    out = {}
+    for name, shells in shells_by_center.items():
+        coords = np.stack([s.coord for s in shells])
+        exps = np.stack([s.exps for s in shells])
+        coefs = np.stack([s.coeffs for s in shells])
+        if tier == "df64":
+            out[f"coord_{name}"] = df.from_f64(coords)
+            out[f"exps_{name}"] = df.from_f64(exps)
+            out[f"coefs_{name}"] = df.from_f64(coefs)
+        else:
+            out[f"coord_{name}"] = np.float32(coords)
+            out[f"exps_{name}"] = np.float32(exps)
+            out[f"coefs_{name}"] = np.float32(coefs)
+    return out
+
+
+# full class coverage on the cheap-to-compile f32 tier; DF64 on
+# representative classes (CPU XLA compile of DF64 scans is the bottleneck
+# in CI -- the TPU run exercises everything via the SCF tests)
+CASES = [
+    ("f32", (0, 0, 0, 0), (3, 3, 3, 3)),
+    ("f32", (1, 0, 1, 0), (2, 3, 2, 3)),
+    ("f32", (1, 1, 1, 1), (1, 1, 1, 1)),
+    ("f32", (2, 1, 1, 0), (2, 1, 1, 2)),
+    ("f32", (2, 2, 2, 2), (1, 1, 1, 1)),
+    ("f32", (3, 2, 1, 0), (1, 1, 1, 1)),
+    ("f32", (4, 3, 2, 1), (1, 1, 1, 1)),
+    ("df64", (0, 0, 0, 0), (3, 3, 3, 3)),
+    ("df64", (1, 0, 1, 0), (1, 2, 1, 1)),
+    ("df64", (2, 2, 2, 2), (1, 1, 1, 1)),
+    ("df64", (3, 2, 1, 0), (1, 1, 1, 1)),
+]
+
+
+@pytest.mark.parametrize("tier,ls,nprims", CASES)
+def test_eri_class_vs_oracle(tier, ls, nprims):
+    rng = np.random.default_rng(hash((ls, tier)) % 2**32)
+    T = 4
+    centers = {}
+    for name, l, npr in zip("abcd", ls, nprims):
+        centers[name] = [_rand_shell(l, npr, rng) for _ in range(T)]
+    batch = _pack(centers, tier)
+
+    # no explicit jit on CPU: the XLA:CPU executor in this jax build can
+    # spin forever on large fused DF64 modules (see scf/jk.py _maybe_jit);
+    # eager execution is reliable and fast enough at T=4
+    out = contracted_eri_batch(tier, ls, nprims, batch)
+    got = df.to_f64(out) if tier == "df64" else np.asarray(out, np.float64)
+
+    for t in range(T):
+        ref = intor_np._eri_shell_quartet(
+            centers["a"][t], centers["b"][t], centers["c"][t], centers["d"][t]
+        )
+        nfa = ref.shape[0] * ref.shape[1]
+        ref2 = ref.reshape(nfa, -1)
+        # ABSOLUTE tolerance: intermediates are O(1), so the DF64 noise
+        # floor is ~1e-13 absolute regardless of how small the screened-out
+        # eri block value is (mirrors the reference's absolute 1e-7 vj/vk
+        # spec for the FP64 tier).
+        err = np.abs(got[t] - ref2).max()
+        tol = 2e-12 if tier == "df64" else 5e-5
+        assert err < tol, (ls, tier, t, err)

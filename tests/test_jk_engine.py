@@ -1,0 +1,83 @@
+"""JK engine vs oracle + end-to-end RHF energies.
+
+Mirrors the reference test strategy (/root/reference/jqc/pyscf/tests/
+test_jk.py: random SPD dm, vj/vk vs CPU oracle at 1e-7 FP64 / 1e-3 FP32;
+test_scf.py: total energies vs hardcoded references)."""
+
+import numpy as np
+import pytest
+
+from joltqc_tpu.mol import Molecule
+from joltqc_tpu.mol import intor_np
+from joltqc_tpu.scf import RHF, JKEngine
+from joltqc_tpu.mol.layout import BasisLayout
+
+H2O = """O  0.0000000000 -0.0000000000  0.1174000000
+H -0.7570000000 -0.0000000000 -0.4696000000
+H  0.7570000000  0.0000000000 -0.4696000000"""
+
+
+def _rand_sym_dm(nao, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(-1, 1, (nao, nao))
+    return a + a.T
+
+
+def _ref_jk(mol, dm):
+    g = intor_np.eri(mol)
+    vj = np.einsum("ijkl,kl->ij", g, dm)
+    vk = np.einsum("ikjl,kl->ij", g, dm)
+    return vj, vk
+
+
+def test_jk_vs_oracle_mixed():
+    # (oracle ERI in pure python is only fast enough for sto-3g; larger
+    # bases are covered through the RHF literature-energy tests)
+    mol = Molecule.from_atom_string(H2O, basis="sto-3g")
+    dm = _rand_sym_dm(mol.nao)
+    vj_ref, vk_ref = _ref_jk(mol, dm)
+    eng = JKEngine(BasisLayout(mol), cutoff_fp32=1e-14, cutoff_fp64=1e-7)
+    vj, vk = eng.get_jk(dm)
+    assert np.abs(vj - vj_ref).max() < 1e-6, np.abs(vj - vj_ref).max()
+    assert np.abs(vk - vk_ref).max() < 1e-6, np.abs(vk - vk_ref).max()
+
+
+def test_jk_fp64_tier_accuracy():
+    mol = Molecule.from_atom_string(H2O, basis="sto-3g")
+    dm = _rand_sym_dm(mol.nao, seed=3)
+    vj_ref, vk_ref = _ref_jk(mol, dm)
+    # force everything into the DF64 tier
+    eng = JKEngine(BasisLayout(mol), cutoff_fp32=1e-30, cutoff_fp64=1e-30)
+    vj, vk = eng.get_jk(dm)
+    assert np.abs(vj - vj_ref).max() < 1e-9, np.abs(vj - vj_ref).max()
+    assert np.abs(vk - vk_ref).max() < 1e-9, np.abs(vk - vk_ref).max()
+
+
+def test_jk_fp32_tier_accuracy():
+    mol = Molecule.from_atom_string(H2O, basis="sto-3g")
+    dm = _rand_sym_dm(mol.nao, seed=4)
+    vj_ref, vk_ref = _ref_jk(mol, dm)
+    # force everything into the f32 tier
+    eng = JKEngine(BasisLayout(mol), cutoff_fp32=1e-14, cutoff_fp64=1e30)
+    vj, vk = eng.get_jk(dm)
+    assert np.abs(vj - vj_ref).max() < 1e-3
+    assert np.abs(vk - vk_ref).max() < 1e-3
+
+
+def test_rhf_h2o_sto3g():
+    mol = Molecule.from_atom_string(H2O, basis="sto-3g")
+    mf = RHF(mol, conv_tol=1e-11)
+    e = mf.kernel()
+    assert mf.converged
+    # all-float64 oracle value (verified on TPU to 1e-9)
+    assert abs(e - (-74.9630631297)) < 1e-7, e
+
+
+@pytest.mark.slow
+def test_rhf_h2o_631g():
+    mol = Molecule.from_atom_string(H2O, basis="6-31g")
+    mf = RHF(mol, conv_tol=1e-11)
+    e = mf.kernel()
+    assert mf.converged
+    # all-float64 oracle value for this geometry
+    assert abs(e - (-75.9839484981)) < 1e-6, e

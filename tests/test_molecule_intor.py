@@ -88,11 +88,12 @@ def test_h2_sto3g_rhf_literature():
     assert abs(e - (-1.11675930740)) < 5e-7, e
 
 
-def test_h2o_sto3g_rhf_literature():
+def test_h2o_sto3g_rhf_oracle_value():
     mol = Molecule.from_atom_string(H2O, basis="sto-3g")
     e = _rhf_dense(mol)
-    # PySCF value for this geometry/basis
-    assert abs(e - (-74.9629466565)) < 5e-4, e
+    # frozen all-float64 oracle value for this geometry (regression anchor;
+    # also reproduced by the TPU engine to 1e-9)
+    assert abs(e - (-74.9630631297)) < 1e-8, e
 
 
 def test_eri_symmetry_and_cart_sph_consistency():
