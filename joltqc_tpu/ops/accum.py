@@ -34,36 +34,46 @@ def _exp_of_max(x_abs_max):
     return e.astype(jnp.int32)  # m = frac * 2^e, frac in [0.5, 1)
 
 
-def scatter_add_det(values, idx, size: int, nlimb: int = 5) -> DF64:
-    """Deterministic scatter-add: out[idx[n]] += values[n].
+def scatter_limbs(values, idx, size: int, nlimb: int = 5, x_abs_max=None):
+    """Stage 1: scatter contributions into int32 fixed-point limb arrays.
 
-    values: DF64 (or plain f32 array) of shape (N,); idx: int32 (N,);
-    returns a DF64 array of shape (size,).  Contributions with
-    idx == size are dropped (padding convention: point pad tasks at
-    ``size`` and allocate one scratch slot).
+    Returns ``(limbs, sexp)``: ``limbs`` is an (nlimb, size) int32 array,
+    ``sexp`` the power-of-two scaling exponent.  Because limbs are plain
+    integers, partial results from different devices can be combined with
+    an exact ``jax.lax.psum`` before ``limbs_to_df64`` -- this is the
+    multi-chip reduction path (see joltqc_tpu/parallel/jk_sharded.py).
+
+    ``x_abs_max`` overrides the magnitude used to pick the scale; pass a
+    ``pmax`` across devices so every shard uses the same scale.
     """
     if not isinstance(values, DF64):
         values = df.from_f32(values)
         nlimb = min(nlimb, 3)
+    if x_abs_max is None:
+        x_abs_max = jnp.max(jnp.abs(values.hi))
 
-    x_abs_max = jnp.max(jnp.abs(values.hi))
     e = _exp_of_max(x_abs_max)
     # scale so |x| < 2^12 (symmetric clip so s * inv_s == 1 exactly)
     sexp = jnp.clip(12 - e, -126, 126)
     s = _pow2_exact(sexp)
     x = df.scale_pow2(values, s)
 
-    accs = []
+    limbs = []
     for _ in range(nlimb):
         limb = jnp.round(x.hi)
-        accs.append(limb.astype(jnp.int32))
+        acc = jnp.zeros((size + 1,), jnp.int32).at[idx].add(limb.astype(jnp.int32))
+        limbs.append(acc[:size])
         x = df.add_f32(x, -limb)  # exact: |x.hi - limb| <= 0.5
         x = df.scale_pow2(x, float(2**_LIMB_BITS))
+    return jnp.stack(limbs), sexp
 
+
+def limbs_to_df64(limbs, sexp) -> DF64:
+    """Stage 2: reassemble limb accumulators into a DF64 array."""
     total = None
     inv_s = _pow2_exact(-sexp)
-    for k, limb in enumerate(accs):
-        acc = jnp.zeros((size + 1,), jnp.int32).at[idx].add(limb)[:size]
+    for k in range(limbs.shape[0]):
+        acc = limbs[k]
         # int32 -> exact DF64 (split into two <2^18 halves)
         hi_part = acc >> _LIMB_BITS
         lo_part = acc - (hi_part << _LIMB_BITS)
@@ -81,6 +91,18 @@ def scatter_add_det(values, idx, size: int, nlimb: int = 5) -> DF64:
     return total
 
 
+def scatter_add_det(values, idx, size: int, nlimb: int = 5) -> DF64:
+    """Deterministic scatter-add: out[idx[n]] += values[n].
+
+    values: DF64 (or plain f32 array) of shape (N,); idx: int32 (N,);
+    returns a DF64 array of shape (size,).  Contributions with
+    idx == size are dropped (padding convention: point pad tasks at
+    ``size`` and allocate one scratch slot).
+    """
+    limbs, sexp = scatter_limbs(values, idx, size, nlimb)
+    return limbs_to_df64(limbs, sexp)
+
+
 def scatter_add_det_2d(values, idx, shape, nlimb: int = 5) -> DF64:
     """Scatter into a 2D (n, m) DF64 output with flat indices."""
     n, m = shape
@@ -88,4 +110,4 @@ def scatter_add_det_2d(values, idx, shape, nlimb: int = 5) -> DF64:
     return DF64(flat.hi.reshape(n, m), flat.lo.reshape(n, m))
 
 
-__all__ = ["scatter_add_det", "scatter_add_det_2d"]
+__all__ = ["scatter_add_det", "scatter_add_det_2d", "scatter_limbs", "limbs_to_df64"]

@@ -221,6 +221,44 @@ def _bucket(n, minimum=256):
     return b
 
 
+def build_geom_batch(P1, P2, t1, t2, w, tier, batch):
+    """Assemble the padded per-task geometry dict consumed by
+    _jk_contrib_fn from two PrimPairBlocks and task index lists.
+
+    Pad tasks carry zero coefficients (``cab``/``ccd`` = 0) so they
+    contribute exactly nothing; exponents pad to 1 to keep the kernels
+    finite.  ``w`` folds the 8-fold-symmetry weights into ``ccd``.
+    """
+    n = len(t1)
+    pad = batch - n
+
+    geom_np = {
+        "A": P1.A[t1], "B": P1.B[t1], "C": P2.A[t2], "D": P2.B[t2],
+        "ea": P1.ea[t1], "eb": P1.eb[t1], "ec": P2.ea[t2], "ed": P2.eb[t2],
+        "cab": P1.cab[t1], "ccd": P2.cab[t2] * w,
+    }
+    ao_np = {
+        "ao_a": P1.ao_i[t1], "ao_b": P1.ao_j[t1],
+        "ao_c": P2.ao_i[t2], "ao_d": P2.ao_j[t2],
+    }
+    if pad:
+        for k in ("A", "B", "C", "D"):
+            geom_np[k] = np.concatenate([geom_np[k], np.zeros((pad, 3))])
+        for k in ("ea", "eb", "ec", "ed"):
+            geom_np[k] = np.concatenate([geom_np[k], np.ones(pad)])
+        for k in ("cab", "ccd"):
+            geom_np[k] = np.concatenate([geom_np[k], np.zeros(pad)])
+        for k in ao_np:
+            ao_np[k] = np.concatenate([ao_np[k], np.zeros(pad, np.int32)])
+
+    geom = {}
+    for k, v in geom_np.items():
+        geom[k] = df.from_f64(v) if tier == "df64" else jnp.asarray(v, jnp.float32)
+    for k, v in ao_np.items():
+        geom[k] = jnp.asarray(v, jnp.int32)
+    return geom
+
+
 class JKEngine:
     """get_jk over a BasisLayout with mixed-precision task routing."""
 
@@ -362,35 +400,7 @@ class JKEngine:
         P.q_log = np.log(np.maximum(q, 1e-38)).astype(np.float32) * 0.5
 
     def _run_batch(self, P1, P2, t1, t2, w, tier, dm_dev, vj, vk, with_j, with_k):
-        n = len(t1)
-        B = _bucket(n)
-        pad = B - n
-
-        geom_np = {
-            "A": P1.A[t1], "B": P1.B[t1], "C": P2.A[t2], "D": P2.B[t2],
-            "ea": P1.ea[t1], "eb": P1.eb[t1], "ec": P2.ea[t2], "ed": P2.eb[t2],
-            "cab": P1.cab[t1], "ccd": P2.cab[t2] * w,
-        }
-        ao_np = {
-            "ao_a": P1.ao_i[t1], "ao_b": P1.ao_j[t1],
-            "ao_c": P2.ao_i[t2], "ao_d": P2.ao_j[t2],
-        }
-        if pad:
-            for k in ("A", "B", "C", "D"):
-                geom_np[k] = np.concatenate([geom_np[k], np.zeros((pad, 3))])
-            for k in ("ea", "eb", "ec", "ed"):
-                geom_np[k] = np.concatenate([geom_np[k], np.ones(pad)])
-            for k in ("cab", "ccd"):
-                geom_np[k] = np.concatenate([geom_np[k], np.zeros(pad)])
-            for k in ao_np:
-                ao_np[k] = np.concatenate([ao_np[k], np.zeros(pad, np.int32)])
-
-        geom = {}
-        for k, v in geom_np.items():
-            geom[k] = df.from_f64(v) if tier == "df64" else jnp.asarray(v, jnp.float32)
-        for k, v in ao_np.items():
-            geom[k] = jnp.asarray(v, jnp.int32)
-
+        geom = build_geom_batch(P1, P2, t1, t2, w, tier, _bucket(len(t1)))
         ls = (P1.li, P1.lj, P2.li, P2.lj)
         fn = _jk_contrib_fn(ls, tier, self.nao, with_j, with_k)
         jvals, jidx, kvals, kidx = fn(geom, dm_dev)
