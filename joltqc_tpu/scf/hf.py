@@ -55,6 +55,12 @@ class RHF:
         vj, vk = self.jk.get_jk(dm)
         return vj - 0.5 * vk
 
+    def energy_elec(self, dm, h, veff):
+        """Electronic energy for the current (dm, veff); overridden by RKS."""
+        return float(
+            np.einsum("ij,ij->", dm, h) + 0.5 * np.einsum("ij,ij->", dm, veff)
+        )
+
     def init_guess(self, s, h):
         # core hamiltonian guess
         _, c = eigh(h, s)
@@ -77,8 +83,7 @@ class RHF:
             veff = self.get_veff(dm)
             jk_time += time.time() - t1
             f = h + veff
-            e_el = 0.5 * np.einsum("ij,ij->", dm, h + f)
-            e_tot = e_el + e_nuc
+            e_tot = self.energy_elec(dm, h, veff) + e_nuc
             f_diis = diis.update(s, dm, f)
             mo_e, mo_c = eigh(f_diis, s)
             dm = 2.0 * mo_c[:, :nocc] @ mo_c[:, :nocc].T
