@@ -150,6 +150,23 @@ def cart_to_sph_factors(l: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
+def real_sph_ortho(l: int) -> np.ndarray:
+    """Orthonormal real spherical harmonics as monomial coefficients.
+
+    Returns Y[m, cart_idx] with Y_lm(w) = sum_c Y[m, c] * w^comps[c] for
+    unit vectors w, satisfying the exact orthonormality
+    ``integral_{S^2} Y_lm Y_lm' dOmega = delta`` (used by the ECP angular
+    tables, ops/ecp_tables.py)."""
+    raw = _sph_coef_table(l)
+    g = sph_gram(l)
+    out = np.zeros_like(raw)
+    for i in range(2 * l + 1):
+        v = raw[i]
+        out[i] = v / np.sqrt(v @ g @ v)
+    return out
+
+
+@lru_cache(maxsize=None)
 def cart_norm_factors(l: int) -> np.ndarray:
     """Per-cartesian-component self-norm relative to the (l,0,0) component.
 

@@ -17,7 +17,7 @@ from ..mol import intor_np
 from ..mol.layout import BasisLayout
 from ..mol.molecule import Molecule
 from .diis import DIIS
-from .jk import JKEngine
+from .jk_contracted import JKEngine
 
 
 class RHF:

@@ -1,0 +1,389 @@
+"""Contracted-task J/K engine: device-resident tables + per-class scans.
+
+This is the production Fock builder (the primitive-pair engine in
+scf/jk.py remains as the reference/debug path and powers the sharded
+demo).  Design vs the reference driver (/root/reference/jqc/pyscf/jk.py):
+
+ - one compiled kernel per (angular quartet, nprim-bucket quartet, tier):
+   a jitted lax.scan whose chunk body gathers shell geometry from small
+   per-class device tables by int32 task indices, evaluates the
+   contracted ERI block (ops/eri.py), contracts with the density, and
+   scatter-accumulates J/K in int32 limbs -> DF64;
+ - tasks (= screened shell-quartet index pairs) are built ONCE on host
+   (scf/tasks.py) and stay on device for the whole SCF: per iteration the
+   only host->device traffic is the density matrix;
+ - FP32/DF64 tiers are a static partition by Schwarz bound x global
+   density bound (reference: per-task dq routing,
+   jk/screen_jk_tasks.cu:258-271); the plan is rebuilt only if the
+   density bound outgrows its margin;
+ - the 8-fold symmetry is handled by unique weighted tasks + one final
+   vj + vj^T (exact power-of-two weights).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..mol.layout import BasisLayout
+from ..ops import df64 as df
+from ..ops.accum import limbs_to_df64, scatter_limbs
+from ..ops.arith import get_arith
+from ..ops.eri import contracted_eri_batch
+from ..ops.harmonics import cart_components
+from .tasks import (
+    build_pair_classes,
+    build_quartet_tasks,
+    build_shell_classes,
+    sort_pairs_by_q,
+)
+
+
+def _nf(l):
+    return len(cart_components(l))
+
+
+def _take(tbl, idx):
+    if isinstance(tbl, df.DF64):
+        return df.DF64(jnp.take(tbl.hi, idx, axis=0), jnp.take(tbl.lo, idx, axis=0))
+    return jnp.take(tbl, idx, axis=0)
+
+
+def _contract_blocks(tier, G, aos, nfs, dm, nao, with_j, with_k):
+    """Density contraction of an ERI block batch -> (vals, idx) pairs.
+
+    G: (T, nfa*nfb, nfc*nfd) (ar-native); aos: (ao_a, ao_b, ao_c, ao_d)
+    int32 (T,); nfs: (nfa, nfb, nfc, nfd).  Returns flattened contribution
+    values + flat nao*nao indices for J (2 groups) and K (4 groups).
+    """
+    ar = get_arith(tier)
+    isdf = tier in ("df64", "fp64")
+    ao_a, ao_b, ao_c, ao_d = aos
+    nfa, nfb, nfc, nfd = nfs
+    T = ao_a.shape[0]
+
+    def blk_idx(ao_x, nx, ao_y, ny):
+        return (
+            (ao_x[:, None, None] + jnp.arange(nx)[None, :, None]) * nao
+            + ao_y[:, None, None]
+            + jnp.arange(ny)[None, None, :]
+        ).reshape(T, nx * ny)
+
+    def dm_blk(idx):
+        if isdf:
+            return df.DF64(
+                jnp.take(dm.hi.reshape(-1), idx), jnp.take(dm.lo.reshape(-1), idx)
+            )
+        return jnp.take(dm.reshape(-1), idx)
+
+    def bmv(mat, vec):
+        if isdf:
+            out = ar.bmm(mat, df.DF64(vec.hi[..., None], vec.lo[..., None]))
+            return df.DF64(out.hi[:, :, 0], out.lo[:, :, 0])
+        return ar.bmm(mat, vec[..., None])[:, :, 0]
+
+    def flat1(x):
+        if isdf:
+            return df.DF64(x.hi.reshape(-1), x.lo.reshape(-1))
+        return x.reshape(-1)
+
+    def t12(x):
+        if isdf:
+            return df.DF64(x.hi.transpose(0, 2, 1), x.lo.transpose(0, 2, 1))
+        return x.transpose(0, 2, 1)
+
+    def perm(x4, axes, m, n):
+        if isdf:
+            return df.DF64(
+                x4.hi.transpose(axes).reshape(T, m, n),
+                x4.lo.transpose(axes).reshape(T, m, n),
+            )
+        return x4.transpose(axes).reshape(T, m, n)
+
+    idx_ab = blk_idx(ao_a, nfa, ao_b, nfb)
+    idx_cd = blk_idx(ao_c, nfc, ao_d, nfd)
+
+    jvals, jidx, kvals, kidx = (), (), (), ()
+    if with_j:
+        jvals = (
+            flat1(ar.mul_f32(bmv(G, dm_blk(idx_cd)), 2.0)),
+            flat1(ar.mul_f32(bmv(t12(G), dm_blk(idx_ab)), 2.0)),
+        )
+        jidx = (idx_ab.reshape(-1), idx_cd.reshape(-1))
+    if with_k:
+        shape5 = (T, nfa, nfb, nfc, nfd)
+        G4 = (
+            df.DF64(G.hi.reshape(shape5), G.lo.reshape(shape5))
+            if isdf
+            else G.reshape(shape5)
+        )
+        idx_ac = blk_idx(ao_a, nfa, ao_c, nfc)
+        idx_ad = blk_idx(ao_a, nfa, ao_d, nfd)
+        idx_bc = blk_idx(ao_b, nfb, ao_c, nfc)
+        idx_bd = blk_idx(ao_b, nfb, ao_d, nfd)
+        kvals = (
+            flat1(bmv(perm(G4, (0, 1, 3, 2, 4), nfa * nfc, nfb * nfd), dm_blk(idx_bd))),
+            flat1(bmv(perm(G4, (0, 1, 4, 2, 3), nfa * nfd, nfb * nfc), dm_blk(idx_bc))),
+            flat1(bmv(perm(G4, (0, 2, 3, 1, 4), nfb * nfc, nfa * nfd), dm_blk(idx_ad))),
+            flat1(bmv(perm(G4, (0, 2, 4, 1, 3), nfb * nfd, nfa * nfc), dm_blk(idx_ac))),
+        )
+        kidx = (idx_ac.reshape(-1), idx_ad.reshape(-1), idx_bc.reshape(-1), idx_bd.reshape(-1))
+    return jvals, jidx, kvals, kidx
+
+
+def _cat_vals(parts):
+    if isinstance(parts[0], df.DF64):
+        return df.DF64(
+            jnp.concatenate([p.hi for p in parts]),
+            jnp.concatenate([p.lo for p in parts]),
+        )
+    return jnp.concatenate(parts)
+
+
+@lru_cache(maxsize=None)
+def _class_scan_fn(ls, nprims, tier, nao, with_j, with_k):
+    """Jitted Fock-contribution scan for one task class.
+
+    Signature: fn(tables, tasks, dm, vj, vk) -> (vj, vk), where
+      tables = ((coord, exps, coefs, ao) per center a..d)  [ar-native]
+      tasks  = (i_a, i_b, i_c, i_d, w): (nchunk, B) int32 / f32
+      dm     = (nao, nao) ar-native; vj/vk DF64 (nao*nao,) accumulators.
+    """
+    isdf = tier in ("df64", "fp64")
+    nfs = tuple(_nf(l) for l in ls)
+    nfa, nfb, nfc, nfd = nfs
+
+    def fn(tables, tasks, dm, vj, vk):
+        ia, ib, ic, idd, w = tasks
+
+        def chunk(carry, t):
+            vj, vk = carry
+            ja, jb, jc, jd, wc = t
+            geom = {}
+            for name, tbl, idx in zip(
+                "abcd", tables, (ja, jb, jc, jd)
+            ):
+                coord, exps, coefs, _ = tbl
+                geom[f"coord_{name}"] = _take(coord, idx)
+                geom[f"exps_{name}"] = _take(exps, idx)
+                geom[f"coefs_{name}"] = _take(coefs, idx)
+            G = contracted_eri_batch(tier, ls, nprims, geom)
+            # fold symmetry weight (exact: powers of two)
+            if isdf:
+                G = df.DF64(G.hi * wc[:, None, None], G.lo * wc[:, None, None])
+            else:
+                G = G * wc[:, None, None]
+            aos = tuple(
+                jnp.take(tbl[3], idx)
+                for tbl, idx in zip(tables, (ja, jb, jc, jd))
+            )
+            jvals, jidx, kvals, kidx = _contract_blocks(
+                tier, G, aos, nfs, dm, nao, with_j, with_k
+            )
+            if with_j:
+                limbs, sexp = scatter_limbs(
+                    _cat_vals(list(jvals)), jnp.concatenate(list(jidx)), nao * nao
+                )
+                vj = df.add(vj, limbs_to_df64(limbs, sexp))
+            if with_k:
+                limbs, sexp = scatter_limbs(
+                    _cat_vals(list(kvals)), jnp.concatenate(list(kidx)), nao * nao
+                )
+                vk = df.add(vk, limbs_to_df64(limbs, sexp))
+            return (vj, vk), None
+
+        (vj, vk), _ = jax.lax.scan(chunk, (vj, vk), (ia, ib, ic, idd, w))
+        return vj, vk
+
+    return jax.jit(fn, donate_argnums=(3, 4))
+
+
+def _chunk_size(ls, ntasks=None, target_elems=1 << 21):
+    nfab = _nf(ls[0]) * _nf(ls[1])
+    nfcd = _nf(ls[2]) * _nf(ls[3])
+    b = target_elems // (nfab * nfcd)
+    b = 1 << int(np.floor(np.log2(max(b, 128))))
+    if ntasks is not None:
+        # don't pad tiny task lists up to a huge chunk
+        b = min(b, 1 << int(np.ceil(np.log2(max(ntasks, 64)))))
+    return int(min(b, 8192))
+
+
+class JKEngine:
+    """Contracted-task mixed-precision get_jk over a BasisLayout."""
+
+    def __init__(
+        self,
+        layout: BasisLayout,
+        cutoff_fp32: float = 1e-13,
+        cutoff_fp64: float = 1e-6,
+    ):
+        self.layout = layout
+        self.nao = layout.nao_int
+        self.cutoff_fp32 = cutoff_fp32
+        self.cutoff_fp64 = cutoff_fp64
+        self.classes = build_shell_classes(layout)
+        self.pair_classes = build_pair_classes(self.classes)
+        self._tables32 = None
+        self._tables64 = None
+        self._plan = None
+        self._plan_logdm = None
+
+    # -------------------------------------------------------------- tables
+    def _tables(self, tier):
+        if tier == "f32":
+            if self._tables32 is None:
+                self._tables32 = [
+                    (
+                        jnp.asarray(c.coords, jnp.float32),
+                        jnp.asarray(c.exps, jnp.float32),
+                        jnp.asarray(c.coefs, jnp.float32),
+                        jnp.asarray(c.ao, jnp.int32),
+                    )
+                    for c in self.classes
+                ]
+            return self._tables32
+        if self._tables64 is None:
+            self._tables64 = [
+                (
+                    df.from_f64(c.coords),
+                    df.from_f64(c.exps),
+                    df.from_f64(c.coefs),
+                    jnp.asarray(c.ao, jnp.int32),
+                )
+                for c in self.classes
+            ]
+        return self._tables64
+
+    # ------------------------------------------------------------ schwarz
+    def _ensure_q(self, pc):
+        if pc.q_log is not None:
+            return
+        c1, c2 = self.classes[pc.ci], self.classes[pc.cj]
+        ls = (c1.l, c2.l, c1.l, c2.l)
+        nprims = (c1.nprim, c2.nprim, c1.nprim, c2.nprim)
+        P = pc.npair
+        B = _chunk_size(ls, P)
+        q = np.zeros(P, np.float32)
+        fn = _q_diag_fn(ls, nprims)
+        t32 = self._tables(tier="f32")
+        tb1, tb2 = t32[pc.ci], t32[pc.cj]
+        for s in range(0, P, B):
+            i = pc.i_loc[s : s + B]
+            j = pc.j_loc[s : s + B]
+            pad = B - len(i)
+            if pad:
+                i = np.concatenate([i, np.full(pad, c1.nshell, np.int32)])
+                j = np.concatenate([j, np.full(pad, c2.nshell, np.int32)])
+            qq = fn(tb1, tb2, jnp.asarray(i), jnp.asarray(j))
+            q[s : s + B] = np.asarray(qq)[: min(B, P - s)]
+        pc.q_log = np.log(np.maximum(q, 1e-38)) * 0.5
+        sort_pairs_by_q(pc)
+
+    # --------------------------------------------------------------- plan
+    def _build_plan(self, logdm):
+        log32 = np.log(self.cutoff_fp32) - logdm
+        log64 = np.log(self.cutoff_fp64) - logdm
+        plan = []
+        for p1i in range(len(self.pair_classes)):
+            p1 = self.pair_classes[p1i]
+            self._ensure_q(p1)
+            for p2i in range(p1i + 1):
+                p2 = self.pair_classes[p2i]
+                self._ensure_q(p2)
+                same = p1i == p2i
+                t1, t2, w, tier64 = build_quartet_tasks(p1, p2, same, log32, log64)
+                if len(t1) == 0:
+                    continue
+                c = [self.classes[k] for k in (p1.ci, p1.cj, p2.ci, p2.cj)]
+                ls = tuple(x.l for x in c)
+                nprims = tuple(x.nprim for x in c)
+                for tier, sel in (("df64", tier64), ("f32", ~tier64)):
+                    n = int(sel.sum())
+                    if n == 0:
+                        continue
+                    B = _chunk_size(ls, n)
+                    s1, s2, sw = t1[sel], t2[sel], w[sel]
+                    npad = (-n) % B
+                    # pad tasks point at each class's zero-coef pad shell
+                    ia = np.concatenate([p1.i_loc[s1], np.full(npad, c[0].nshell, np.int32)])
+                    ib = np.concatenate([p1.j_loc[s1], np.full(npad, c[1].nshell, np.int32)])
+                    ic = np.concatenate([p2.i_loc[s2], np.full(npad, c[2].nshell, np.int32)])
+                    idd = np.concatenate([p2.j_loc[s2], np.full(npad, c[3].nshell, np.int32)])
+                    ww = np.concatenate([sw, np.zeros(npad)])
+                    nchunk = len(ia) // B
+                    tasks = tuple(
+                        jnp.asarray(x.reshape(nchunk, B), dt)
+                        for x, dt in (
+                            (ia, jnp.int32), (ib, jnp.int32),
+                            (ic, jnp.int32), (idd, jnp.int32),
+                            (ww, jnp.float32),
+                        )
+                    )
+                    plan.append(
+                        dict(
+                            ls=ls, nprims=nprims, tier=tier, ntasks=n,
+                            cls_idx=(p1.ci, p1.cj, p2.ci, p2.cj), tasks=tasks,
+                        )
+                    )
+        return plan
+
+    # ---------------------------------------------------------------- jk
+    def get_jk(self, dm_mol, with_j=True, with_k=True):
+        lay = self.layout
+        nao = self.nao
+        dm_int = lay.dm_to_internal(np.asarray(dm_mol, np.float64))
+        logdm = float(np.log(max(np.abs(dm_int).max(), 1e-30)))
+
+        if self._plan is None or logdm > self._plan_logdm:
+            self._plan_logdm = logdm + 0.7  # reuse margin: ~2x density growth
+            self._plan = self._build_plan(self._plan_logdm)
+
+        dm_df = df.from_f64(dm_int)
+        dm_f32 = jnp.asarray(dm_int, jnp.float32)
+
+        vj = df.const(0.0, (nao * nao,))
+        vk = df.const(0.0, (nao * nao,))
+        for entry in self._plan:
+            tier = entry["tier"]
+            tables = self._tables(tier)
+            tbls = tuple(tables[k] for k in entry["cls_idx"])
+            fn = _class_scan_fn(
+                entry["ls"], entry["nprims"], tier, nao, with_j, with_k
+            )
+            vj, vk = fn(
+                tbls, entry["tasks"], dm_df if tier == "df64" else dm_f32, vj, vk
+            )
+
+        out_j = out_k = None
+        if with_j:
+            vj64 = df.to_f64(vj).reshape(nao, nao)
+            out_j = lay.mat_to_mol(vj64 + vj64.T)
+        if with_k:
+            vk64 = df.to_f64(vk).reshape(nao, nao)
+            out_k = lay.mat_to_mol(vk64 + vk64.T)
+        return out_j, out_k
+
+
+@lru_cache(maxsize=None)
+def _q_diag_fn(ls, nprims):
+    """f32 Schwarz diagonal q^2 = max |(ab|ab)| per pair (jitted)."""
+
+    def fn(tb1, tb2, i, j):
+        geom = {}
+        for name, tbl, idx in zip("abcd", (tb1, tb2, tb1, tb2), (i, j, i, j)):
+            coord, exps, coefs, _ = tbl
+            geom[f"coord_{name}"] = jnp.take(coord, idx, axis=0)
+            geom[f"exps_{name}"] = jnp.take(exps, idx, axis=0)
+            geom[f"coefs_{name}"] = jnp.take(coefs, idx, axis=0)
+        G = contracted_eri_batch("f32", ls, nprims, geom)
+        diag = jnp.abs(jnp.diagonal(G, axis1=1, axis2=2))
+        return jnp.max(diag, axis=1)
+
+    return jax.jit(fn)
+
+
+__all__ = ["JKEngine"]

@@ -29,12 +29,15 @@ class RKS(RHF):
         mol,
         xc: str = "lda,vwn",
         grids: Grids | None = None,
+        nlc=None,
         **kw,
     ):
         super().__init__(mol, **kw)
         self.xc = xc
         self.gga = is_gga(xc)
         self.hyb = hybrid_coeff(xc)
+        # nlc: None | True (VV10 defaults b=5.9, C=0.0093) | (b, C)
+        self.nlc = (5.9, 0.0093) if nlc is True else nlc
         self.grids = grids if grids is not None else Grids(mol)
         self.ni = NumInt(self.layout)
         self._ecoul = 0.0
@@ -47,21 +50,36 @@ class RKS(RHF):
         lay = self.layout
         dm_int = lay.dm_to_internal(np.asarray(dm, np.float64))
 
-        rho = eval_rho_all(self.ni, self.grids, dm_int, self.gga)
-        sigma = (rho[1:] ** 2).sum(axis=0) if self.gga else None
-        e, vr, vs = eval_xc(self.xc, rho[0], sigma)
+        need_grad = self.gga or self.nlc is not None
+        rho = eval_rho_all(self.ni, self.grids, dm_int, need_grad)
+        sigma = (rho[1:] ** 2).sum(axis=0) if need_grad else None
+        e, vr, vs = eval_xc(self.xc, rho[0], sigma if self.gga else None)
+        if not self.gga:
+            vs = np.zeros_like(vr)
 
         w = self.grids.weights
         exc = float(np.sum(w * e))
         self._nelec_grid = float(np.sum(w * rho[0]))
 
-        if self.gga:
+        if self.nlc is not None:
+            from ..dft.vv10 import nlc_exc_vxc
+
+            b, C = self.nlc
+            # VV10 energy uses quadrature weights; restrict to real points
+            e_nlc, vr_n, vs_n = nlc_exc_vxc(
+                self.grids.coords, w, rho[0], sigma, b, C
+            )
+            exc += e_nlc
+            vr = vr + vr_n
+            vs = vs + vs_n
+
+        if need_grad:
             wv = np.concatenate(
                 [(w * vr)[None, :], 2.0 * (w * vs)[None, :] * rho[1:]]
             )
         else:
             wv = (w * vr)[None, :]
-        vxc_int = eval_vxc_mat(self.ni, self.grids, wv, self.gga)
+        vxc_int = eval_vxc_mat(self.ni, self.grids, wv, need_grad)
         vxc = lay.mat_to_mol(vxc_int)
 
         if self.hyb > 0:
