@@ -147,28 +147,48 @@ class NumInt:
 
 
 @lru_cache(maxsize=None)
-def _rho_block_fn(G: int, nao: int, gga: bool):
+def _rho_block_fn(G: int, nao: int, family: str):
+    """family: 'lda' (1 row), 'gga' (4 rows), 'mgga' (5 rows: +tau).
+
+    Row layout follows the reference's eval_rho ndim convention
+    (/root/reference/jqc/backend/dft/eval_rho.cu: LDA 1, GGA 4, mGGA 5,
+    no laplacian)."""
+
     def fn(ao, ao1, dm):
         t = jnp.dot(ao, dm, precision=_HIGH)  # (G, nao)
         rho0 = jnp.sum(t * ao, axis=1)
-        if not gga:
+        if family == "lda":
             return rho0[None, :]
         # symmetric dm: grad rho_d = 2 * sum (ao @ dm) * d_ao
         rows = [rho0] + [2.0 * jnp.sum(t * ao1[d], axis=1) for d in range(3)]
+        if family == "mgga":
+            # tau = 1/2 sum_d (d_ao @ dm) . d_ao
+            tau = jnp.zeros_like(rho0)
+            for d in range(3):
+                td = jnp.dot(ao1[d], dm, precision=_HIGH)
+                tau = tau + jnp.sum(td * ao1[d], axis=1)
+            rows.append(0.5 * tau)
         return jnp.stack(rows)
 
     return jax.jit(fn)
 
 
 @lru_cache(maxsize=None)
-def _vxc_block_fn(G: int, nao: int, gga: bool):
+def _vxc_block_fn(G: int, nao: int, family: str):
     def fn(ao, ao1, wv):
-        # wv rows: [w*vrho] (+ GGA: [2*w*vsigma*rho1_d for d in 0..2])
+        # wv rows: [w*vrho] (+ GGA: [2*w*vsigma*rho1_d]) (+ mGGA: [w*vtau])
         mid = ao * (0.5 * wv[0])[:, None]
-        if gga:
+        if family != "lda":
             for d in range(3):
                 mid = mid + ao1[d] * wv[1 + d][:, None]
         half = jnp.dot(ao.T, mid, precision=_HIGH)
+        if family == "mgga":
+            # V_tau[i,j] = 1/2 sum_d w*vtau * dao_i dao_j; the 0.25 here
+            # doubles to 0.5 through the final half + half.T
+            for d in range(3):
+                half = half + jnp.dot(
+                    ao1[d].T, ao1[d] * (0.25 * wv[4])[:, None], precision=_HIGH
+                )
         return half + half.T
 
     return jax.jit(fn)
@@ -182,34 +202,46 @@ def _exc_nelec_fn(G: int):
     return jax.jit(fn)
 
 
-def eval_rho_all(ni: NumInt, grids, dm_int, gga: bool):
-    """rho (+grad) on the full padded grid: returns numpy (1 or 4, N)."""
+def _family_arg(family):
+    if isinstance(family, bool):  # back-compat: gga flag
+        return "gga" if family else "lda"
+    return family
+
+
+def eval_rho_all(ni: NumInt, grids, dm_int, family):
+    """rho rows on the full padded grid: numpy (1 | 4 | 5, N).
+
+    family: 'lda' | 'gga' | 'mgga' (rows: rho; +grad; +tau)."""
+    family = _family_arg(family)
     dm32 = jnp.asarray(dm_int, jnp.float32)
     N = len(grids.coords)
     B = ni.block
-    rows = 4 if gga else 1
+    rows = {"lda": 1, "gga": 4, "mgga": 5}[family]
     out = np.zeros((rows, N))
-    fn = _rho_block_fn(B, ni.nao, gga)
+    fn = _rho_block_fn(B, ni.nao, family)
+    deriv = 0 if family == "lda" else 1
     for s in range(0, N, B):
         blk = grids.coords[s : s + B]
-        aos = ni.eval_ao_block(blk, deriv=1 if gga else 0)
+        aos = ni.eval_ao_block(blk, deriv=deriv)
         ao = aos[0]
-        ao1 = jnp.stack(aos[1:]) if gga else jnp.zeros((3, B, ni.nao), jnp.float32)
+        ao1 = jnp.stack(aos[1:]) if deriv else jnp.zeros((3, B, ni.nao), jnp.float32)
         out[:, s : s + B] = np.asarray(fn(ao, ao1, dm32), np.float64)
     return out
 
 
-def eval_vxc_mat(ni: NumInt, grids, wv, gga: bool):
-    """V_xc matrix from potential rows wv (numpy (1 or 4, N))."""
+def eval_vxc_mat(ni: NumInt, grids, wv, family):
+    """V_xc matrix from potential rows wv (numpy (1 | 4 | 5, N))."""
+    family = _family_arg(family)
     N = len(grids.coords)
     B = ni.block
-    fn = _vxc_block_fn(B, ni.nao, gga)
+    fn = _vxc_block_fn(B, ni.nao, family)
+    deriv = 0 if family == "lda" else 1
     acc = df.const(0.0, (ni.nao, ni.nao))
     for s in range(0, N, B):
         blk = grids.coords[s : s + B]
-        aos = ni.eval_ao_block(blk, deriv=1 if gga else 0)
+        aos = ni.eval_ao_block(blk, deriv=deriv)
         ao = aos[0]
-        ao1 = jnp.stack(aos[1:]) if gga else jnp.zeros((3, B, ni.nao), jnp.float32)
+        ao1 = jnp.stack(aos[1:]) if deriv else jnp.zeros((3, B, ni.nao), jnp.float32)
         w32 = jnp.asarray(wv[:, s : s + B], jnp.float32)
         blkmat = fn(ao, ao1, w32)
         acc = df.add(acc, df.from_f32(blkmat))

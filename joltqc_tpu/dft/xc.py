@@ -3,26 +3,35 @@
 The reference delegates XC evaluation to libxc through GPU4PySCF
 (``ni.eval_xc_eff``, /root/reference/jqc/pyscf/rks.py:341); no libxc
 exists in this environment, so the functionals are implemented directly:
-energy densities e(rho, sigma) as jax functions, potentials
-(vrho = de/drho, vsigma = de/dsigma) via ``jax.grad`` -- one definition,
-machine-exact derivatives, no hand-coded vxc.
+energy densities e(rho, sigma, tau) as jax functions, potentials
+(vrho, vsigma, vtau) via ``jax.grad`` -- one definition, machine-exact
+derivatives, no hand-coded vxc.
 
 Precision: XC is evaluated on the HOST CPU backend in float64 inside a
-``jax.experimental.enable_x64`` scope (the rho vector is O(ngrid), tiny
-next to the Fock build, and TPU f32 would inject ~1e-5 Ha noise into
-total energies).  The TPU does the heavy lifting on either side of this
-call (rho evaluation and vxc-matrix contraction, dft/numint.py).
+``jax.enable_x64`` scope (the rho vector is O(ngrid), tiny next to the
+Fock build, and TPU f32 would inject ~1e-5 Ha noise into total
+energies).  The TPU does the heavy lifting on either side of this call
+(rho evaluation and vxc-matrix contraction, dft/numint.py).
 
-Implemented (restricted/closed-shell, matching the reference's
-RHF/RKS-only scope): Slater X; VWN5 & VWN3(RPA) C; PW92 C; PBE X/C;
-B88 X; LYP C (Johnson-Gill-Pople form); composites SVWN/PBE/BLYP/
-B3LYP/B3LYP5/PBE0.  All formulas validated in tests/test_xc.py by exact
-limits, finite-difference potentials, and uniform-gas identities.
+Families: lda (rho), gga (+sigma), mgga (+tau; no laplacian, matching
+the reference's eval_rho ndim=5 convention, jqc/backend/dft/eval_rho.cu).
+Range-separated hybrids carry (omega, alpha=LR-HF, hyb=SR-HF) with the
+PySCF composition  K_eff = hyb*K + (alpha-hyb)*K_lr(omega).
+
+Implemented (restricted/closed-shell, matching the reference's RHF/
+RKS-only scope): Slater X (+ erfc-attenuated SR variant); VWN5 & VWN3
+C; PW92 C (zeta=0 and 1); PBE X/C; B88 X; LYP C; B97-family machinery
+(B97, wB97X-V, wB97M-V -- parameter tables in dft/xc_data.py with
+provenance notes); composites SVWN/PBE/BLYP/B3LYP/B3LYP5/PBE0.
+Validated in tests/test_dft.py + tests/test_xc_b97.py by exact limits,
+finite-difference potentials, uniform-gas identities, and a numeric
+exchange-hole oracle for the SR attenuation factor.
 """
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
+from typing import NamedTuple
 
 import numpy as np
 
@@ -33,8 +42,18 @@ import jax.numpy as jnp
 _CX = 0.75 * (3.0 / np.pi) ** (1.0 / 3.0)  # Slater exchange constant
 _CX_SPIN = 0.75 * (6.0 / np.pi) ** (1.0 / 3.0)  # per-spin variant
 _CF = 0.3 * (3.0 * np.pi**2) ** (2.0 / 3.0)  # Thomas-Fermi kinetic const
+_CF_SPIN = 0.3 * (6.0 * np.pi**2) ** (2.0 / 3.0)  # per-spin (zeta=1)
 
 _RHO_FLOOR = 1e-14
+
+
+class XCInfo(NamedTuple):
+    family: str  # 'lda' | 'gga' | 'mgga'
+    comps: tuple  # ((coef, fn(rho, sigma, tau)), ...)
+    hyb: float  # full-range HF fraction (SR fraction when omega > 0)
+    alpha: float  # long-range HF fraction (== hyb when omega == 0)
+    omega: float  # range-separation parameter (0 = none)
+    nlc: tuple | None  # VV10 (b, C) or None
 
 
 def _rs(rho):
@@ -42,8 +61,40 @@ def _rs(rho):
 
 
 # ----------------------------------------------------------- LDA pieces
-def _ex_slater(rho, sigma):
+def _ex_slater(rho, sigma, tau):
     return -_CX * rho ** (4.0 / 3.0)
+
+
+def _sr_factor(a):
+    """Attenuated-Slater factor F(a), a = omega / (2 kF_sigma).
+
+    The UEG exchange energy with the SHORT-range kernel erfc(w*r)/r is
+    F(a) times the full-Coulomb value (Gill/Adamson attenuated-Slater;
+    the same theta-shift identity the ERI engine uses, ops/md.py).
+    Verified against direct numerical integration of the UEG exchange
+    hole in tests/test_xc_b97.py.
+    """
+    a = jnp.maximum(a, 1e-12)
+    # exact form; f64 cancellation grows as ~32 a^4/3 * eps, still < 1e-9
+    # relative at the a=20 switch
+    a_s = jnp.minimum(a, 20.0)
+    exact = 1.0 - (8.0 / 3.0) * a_s * (
+        np.sqrt(np.pi) * jax.scipy.special.erf(0.5 / a_s)
+        - 3.0 * a_s
+        + 4.0 * a_s**3
+        + (2.0 * a_s - 4.0 * a_s**3) * jnp.exp(-0.25 / (a_s * a_s))
+    )
+    # large-a asymptote (cancellation-free): F -> 1/(36 a^2) - 1/(960 a^4)
+    a_l = jnp.maximum(a, 20.0)
+    asym = 1.0 / (36.0 * a_l * a_l) - 1.0 / (960.0 * a_l**4)
+    return jnp.where(a <= 20.0, exact, asym)
+
+
+def _ex_slater_sr(rho, omega):
+    """Closed-shell SR (erfc-attenuated) Slater exchange energy density."""
+    rho_s = rho / 2.0
+    kf = (6.0 * np.pi**2 * rho_s) ** (1.0 / 3.0)
+    return -_CX * rho ** (4.0 / 3.0) * _sr_factor(omega / (2.0 * kf))
 
 
 def _vwn_eps(rho, A, b, c, x0):
@@ -61,39 +112,45 @@ def _vwn_eps(rho, A, b, c, x0):
     )
 
 
-def _ec_vwn5(rho, sigma):
+def _ec_vwn5(rho, sigma, tau):
     return rho * _vwn_eps(rho, 0.0310907, 3.72744, 12.9352, -0.10498)
 
 
-def _ec_vwn3(rho, sigma):
+def _ec_vwn3(rho, sigma, tau):
     # VWN III (RPA fit) -- the parametrization inside Gaussian-style B3LYP
     return rho * _vwn_eps(rho, 0.0310907, 13.0720, 42.7198, -0.409286)
 
 
-def _pw92_eps(rho):
-    """PW92 correlation energy per particle (zeta = 0)."""
-    A, a1 = 0.031091, 0.21370
-    b1, b2, b3, b4 = 7.5957, 3.5876, 1.6382, 0.49294
-    rs = _rs(rho)
+def _pw92_g(rs, A, a1, b1, b2, b3, b4):
     srs = jnp.sqrt(rs)
     den = 2.0 * A * (b1 * srs + b2 * rs + b3 * rs * srs + b4 * rs * rs)
     return -2.0 * A * (1.0 + a1 * rs) * jnp.log1p(1.0 / den)
 
 
-def _ec_pw92(rho, sigma):
+def _pw92_eps(rho):
+    """PW92 correlation energy per particle, unpolarized (zeta = 0)."""
+    return _pw92_g(_rs(rho), 0.031091, 0.21370, 7.5957, 3.5876, 1.6382, 0.49294)
+
+
+def _pw92_eps_pol(rho):
+    """PW92 correlation energy per particle, fully polarized (zeta = 1)."""
+    return _pw92_g(_rs(rho), 0.015545, 0.20548, 14.1189, 6.1977, 3.3662, 0.62517)
+
+
+def _ec_pw92(rho, sigma, tau):
     return rho * _pw92_eps(rho)
 
 
 # ----------------------------------------------------------- GGA pieces
-def _ex_pbe(rho, sigma):
+def _ex_pbe(rho, sigma, tau):
     kappa, mu = 0.804, 0.2195149727645171
     kf = (3.0 * np.pi**2 * rho) ** (1.0 / 3.0)
     s2 = sigma / (4.0 * kf**2 * rho**2)
     fx = 1.0 + kappa - kappa / (1.0 + mu * s2 / kappa)
-    return _ex_slater(rho, sigma) * fx
+    return _ex_slater(rho, sigma, tau) * fx
 
 
-def _ec_pbe(rho, sigma):
+def _ec_pbe(rho, sigma, tau):
     gamma = (1.0 - np.log(2.0)) / np.pi**2
     beta = 0.06672455060314922
     eps = _pw92_eps(rho)
@@ -118,7 +175,7 @@ def _ex_b88_spin(rs_, ss_):
     )
 
 
-def _ex_b88(rho, sigma):
+def _ex_b88(rho, sigma, tau):
     # closed shell: both spins rho/2, sigma_ss = sigma/4
     return 2.0 * _ex_b88_spin(rho / 2.0, sigma / 4.0)
 
@@ -143,48 +200,145 @@ def _ec_lyp_spin(ra, rb, saa, sab, sbb):
     return -4.0 * a * ra * rb / (rho * denom) - a * b * omega * G
 
 
-def _ec_lyp(rho, sigma):
+def _ec_lyp(rho, sigma, tau):
     return _ec_lyp_spin(rho / 2.0, rho / 2.0, sigma / 4.0, sigma / 4.0, sigma / 4.0)
 
 
+# ------------------------------------------------------- B97 machinery
+def _b97_u(gamma, x2):
+    gx = gamma * x2
+    return gx / (1.0 + gx)
+
+
+def _b97_w(rho_s, tau_s):
+    """w = (t-1)/(t+1), t = tau_unif/tau (MN12/wB97M-V convention)."""
+    t_unif = _CF_SPIN * rho_s ** (5.0 / 3.0)
+    tau_s = jnp.maximum(tau_s, 1e-14)
+    t = t_unif / tau_s
+    return (t - 1.0) / (t + 1.0)
+
+
+def _b97_series(coeffs, u, w=None):
+    """Power series: GGA list [c0,c1,..] in u, or mGGA {(i,j): c} w^i u^j."""
+    if isinstance(coeffs, dict):
+        imax = max(i for i, _ in coeffs)
+        jmax = max(j for _, j in coeffs)
+        wp = [jnp.ones_like(u)]
+        for _ in range(imax):
+            wp.append(wp[-1] * w)
+        up = [jnp.ones_like(u)]
+        for _ in range(jmax):
+            up.append(up[-1] * u)
+        return sum(c * wp[i] * up[j] for (i, j), c in coeffs.items())
+    g = jnp.zeros_like(u)
+    for c in reversed(coeffs):
+        g = g * u + c
+    return g
+
+
+def _make_b97(data):
+    """Build closed-shell B97-family component fns from an xc_data entry.
+
+    Exchange: per-spin (SR-)LSDA exchange times series in u (+ w).
+    Correlation: Stoll partition of PW92 -- same-spin e_ss uses the
+    fully-polarized eps_c at rho_s, opposite-spin the remainder -- each
+    times its own series (Becke 1997 construction).
+    """
+    from .xc_data import B97_GAMMA
+
+    gx, gss, gos = B97_GAMMA
+    omega = data["omega"]
+    is_mgga = data["series"] == "mgga"
+
+    def fx(rho, sigma, tau):
+        rho_s = rho / 2.0
+        x2 = (sigma / 4.0) / rho_s ** (8.0 / 3.0)
+        u = _b97_u(gx, x2)
+        w = _b97_w(rho_s, tau / 2.0) if is_mgga else None
+        g = _b97_series(data["x"], u, w)
+        e_lda = (
+            _ex_slater_sr(rho, omega) if omega > 0 else _ex_slater(rho, sigma, tau)
+        )
+        return e_lda * g
+
+    def fc(rho, sigma, tau):
+        rho_s = rho / 2.0
+        x2 = (sigma / 4.0) / rho_s ** (8.0 / 3.0)
+        w = _b97_w(rho_s, tau / 2.0) if is_mgga else None
+        # same-spin (x2_ss = per-spin x2; two identical channels)
+        u_ss = _b97_u(gss, x2)
+        e_ss_lda = rho_s * _pw92_eps_pol(rho_s)
+        e_ss = 2.0 * e_ss_lda * _b97_series(data["css"], u_ss, w)
+        # opposite-spin (x2_os = avg of the two spin x2 = x2 here)
+        u_os = _b97_u(gos, x2)
+        e_os_lda = rho * _pw92_eps(rho) - 2.0 * e_ss_lda
+        e_os = e_os_lda * _b97_series(data["cos"], u_os, w)
+        return e_ss + e_os
+
+    return ((1.0, fx), (1.0, fc))
+
+
 # --------------------------------------------------------------- registry
-# name -> (family, [(coef, component_fn), ...], hyb)
+def _info(family, comps, hyb=0.0, alpha=None, omega=0.0, nlc=None):
+    return XCInfo(family, tuple(comps), hyb, hyb if alpha is None else alpha, omega, nlc)
+
+
 _COMPONENTS = {
-    "slater": ("lda", [(1.0, _ex_slater)], 0.0),
-    "vwn": ("lda", [(1.0, _ec_vwn5)], 0.0),
-    "vwn5": ("lda", [(1.0, _ec_vwn5)], 0.0),
-    "vwn3": ("lda", [(1.0, _ec_vwn3)], 0.0),
-    "pw92": ("lda", [(1.0, _ec_pw92)], 0.0),
-    "pbe_x": ("gga", [(1.0, _ex_pbe)], 0.0),
-    "pbe_c": ("gga", [(1.0, _ec_pbe)], 0.0),
-    "b88": ("gga", [(1.0, _ex_b88)], 0.0),
-    "lyp": ("gga", [(1.0, _ec_lyp)], 0.0),
+    "slater": _info("lda", [(1.0, _ex_slater)]),
+    "vwn": _info("lda", [(1.0, _ec_vwn5)]),
+    "vwn5": _info("lda", [(1.0, _ec_vwn5)]),
+    "vwn3": _info("lda", [(1.0, _ec_vwn3)]),
+    "pw92": _info("lda", [(1.0, _ec_pw92)]),
+    "pbe_x": _info("gga", [(1.0, _ex_pbe)]),
+    "pbe_c": _info("gga", [(1.0, _ec_pbe)]),
+    "b88": _info("gga", [(1.0, _ex_b88)]),
+    "lyp": _info("gga", [(1.0, _ec_lyp)]),
 }
 
 _ALIASES = {
-    "lda": ("lda", [(1.0, _ex_slater), (1.0, _ec_vwn5)], 0.0),
-    "svwn": ("lda", [(1.0, _ex_slater), (1.0, _ec_vwn5)], 0.0),
-    "lda,vwn": ("lda", [(1.0, _ex_slater), (1.0, _ec_vwn5)], 0.0),
-    "pbe": ("gga", [(1.0, _ex_pbe), (1.0, _ec_pbe)], 0.0),
-    "pbe,pbe": ("gga", [(1.0, _ex_pbe), (1.0, _ec_pbe)], 0.0),
-    "blyp": ("gga", [(1.0, _ex_b88), (1.0, _ec_lyp)], 0.0),
-    "pbe0": ("gga", [(0.75, _ex_pbe), (1.0, _ec_pbe)], 0.25),
+    "hf": _info("lda", [], hyb=1.0),
+    "lda": _info("lda", [(1.0, _ex_slater), (1.0, _ec_vwn5)]),
+    "svwn": _info("lda", [(1.0, _ex_slater), (1.0, _ec_vwn5)]),
+    "lda,vwn": _info("lda", [(1.0, _ex_slater), (1.0, _ec_vwn5)]),
+    "pbe": _info("gga", [(1.0, _ex_pbe), (1.0, _ec_pbe)]),
+    "pbe,pbe": _info("gga", [(1.0, _ex_pbe), (1.0, _ec_pbe)]),
+    "blyp": _info("gga", [(1.0, _ex_b88), (1.0, _ec_lyp)]),
+    "pbe0": _info("gga", [(0.75, _ex_pbe), (1.0, _ec_pbe)], hyb=0.25),
     # B3LYP (libxc convention: VWN-RPA in the 0.19 LDA-correlation slot)
-    "b3lyp": (
+    "b3lyp": _info(
         "gga",
         [(0.08, _ex_slater), (0.72, _ex_b88), (0.19, _ec_vwn3), (0.81, _ec_lyp)],
-        0.20,
+        hyb=0.20,
     ),
-    "b3lyp5": (
+    "b3lyp5": _info(
         "gga",
         [(0.08, _ex_slater), (0.72, _ex_b88), (0.19, _ec_vwn5), (0.81, _ec_lyp)],
-        0.20,
+        hyb=0.20,
     ),
 }
 
 
-def parse_xc(xc_code: str):
-    """Return (family, components, hyb) for a functional code."""
+def _install_b97():
+    from .xc_data import FUNCTIONALS
+
+    for name, data in FUNCTIONALS.items():
+        _ALIASES[name] = XCInfo(
+            data["family"],
+            _make_b97(data),
+            data["hyb"],
+            data["alpha"],
+            data["omega"],
+            data["nlc"],
+        )
+
+
+_install_b97()
+
+_FAM_ORDER = {"lda": 0, "gga": 1, "mgga": 2}
+
+
+def parse_xc(xc_code: str) -> XCInfo:
+    """Return the XCInfo for a functional code ('name' or 'x_part,c_part')."""
     key = xc_code.strip().lower()
     if key in _ALIASES:
         return _ALIASES[key]
@@ -196,61 +350,98 @@ def parse_xc(xc_code: str):
         for part in (xk, ck):
             if not part:
                 continue
-            f, cl, h = parse_xc(part)
-            comps += cl
-            hyb += h
-            if f == "gga":
-                fam = "gga"
-        return fam, comps, hyb
+            info = parse_xc(part)
+            if info.omega or info.nlc:
+                raise NotImplementedError(
+                    "RSH/NLC functionals cannot be combined with ','"
+                )
+            comps += list(info.comps)
+            hyb += info.hyb
+            if _FAM_ORDER[info.family] > _FAM_ORDER[fam]:
+                fam = info.family
+        return XCInfo(fam, tuple(comps), hyb, hyb, 0.0, None)
     raise NotImplementedError(f"XC functional '{xc_code}' not implemented")
 
 
+def xc_family(xc_code: str) -> str:
+    return parse_xc(xc_code).family
+
+
 def is_gga(xc_code: str) -> bool:
-    return parse_xc(xc_code)[0] == "gga"
+    return parse_xc(xc_code).family == "gga"
+
+
+def needs_tau(xc_code: str) -> bool:
+    return parse_xc(xc_code).family == "mgga"
 
 
 def hybrid_coeff(xc_code: str) -> float:
-    return parse_xc(xc_code)[2]
+    return parse_xc(xc_code).hyb
+
+
+def rsh_coeff(xc_code: str):
+    """(omega, alpha, hyb): K_eff = hyb*K + (alpha-hyb)*K_lr(omega)."""
+    info = parse_xc(xc_code)
+    return info.omega, info.alpha, info.hyb
+
+
+def nlc_coeff(xc_code: str):
+    return parse_xc(xc_code).nlc
 
 
 # ----------------------------------------------------------- evaluation
 @lru_cache(maxsize=None)
 def _xc_fn(xc_code: str):
-    fam, comps, _ = parse_xc(xc_code)
+    info = parse_xc(xc_code)
 
-    def e_density(rho, sigma):
+    def e_density(rho, sigma, tau):
         rho = jnp.maximum(rho, _RHO_FLOOR)
         sigma = jnp.maximum(sigma, 1e-28)
-        return sum(c * f(rho, sigma) for c, f in comps)
+        tau = jnp.maximum(tau, 1e-20)
+        if not info.comps:
+            return jnp.zeros_like(rho)
+        return sum(c * f(rho, sigma, tau) for c, f in info.comps)
 
-    def both(rho, sigma):
-        e = e_density(rho, sigma)
-        vr, vs = jax.grad(lambda r, s: jnp.sum(e_density(r, s)), argnums=(0, 1))(
-            rho, sigma
-        )
-        return e, vr, vs
+    def both(rho, sigma, tau):
+        e = e_density(rho, sigma, tau)
+        vr, vs, vt = jax.grad(
+            lambda r, s, t: jnp.sum(e_density(r, s, t)), argnums=(0, 1, 2)
+        )(rho, sigma, tau)
+        return e, vr, vs, vt
 
     return jax.jit(both, backend="cpu")
 
 
-def eval_xc(xc_code: str, rho, sigma=None):
-    """Evaluate e_xc (per volume), vrho, vsigma at grid points.
+def eval_xc(xc_code: str, rho, sigma=None, tau=None):
+    """Evaluate e_xc (per volume), vrho, vsigma, vtau at grid points.
 
-    rho, sigma: numpy float64 (N,).  Runs in float64 on the host CPU
-    backend.  Points below the density floor contribute exactly zero.
+    rho, sigma, tau: numpy float64 (N,).  Runs in float64 on the host
+    CPU backend.  Points below the density floor contribute exactly zero.
     """
     rho = np.asarray(rho, np.float64)
     if sigma is None:
         sigma = np.zeros_like(rho)
+    if tau is None:
+        tau = np.zeros_like(rho)
     sigma = np.asarray(sigma, np.float64)
+    tau = np.asarray(tau, np.float64)
     with jax.enable_x64(True):
-        e, vr, vs = _xc_fn(xc_code)(jnp.asarray(rho), jnp.asarray(sigma))
-        e, vr, vs = (np.array(x, np.float64) for x in (e, vr, vs))
+        outs = _xc_fn(xc_code)(jnp.asarray(rho), jnp.asarray(sigma), jnp.asarray(tau))
+        e, vr, vs, vt = (np.array(x, np.float64) for x in outs)
     mask = rho <= _RHO_FLOOR
-    e[mask] = 0.0
-    vr[mask] = 0.0
-    vs[mask] = 0.0
-    return e, vr, vs
+    for arr in (e, vr, vs, vt):
+        arr[mask] = 0.0
+    return e, vr, vs, vt
 
 
-__all__ = ["eval_xc", "parse_xc", "is_gga", "hybrid_coeff"]
+__all__ = [
+    "eval_xc",
+    "parse_xc",
+    "xc_family",
+    "is_gga",
+    "needs_tau",
+    "hybrid_coeff",
+    "rsh_coeff",
+    "nlc_coeff",
+    "XCInfo",
+]

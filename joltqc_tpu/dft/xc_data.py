@@ -1,0 +1,87 @@
+"""Parameter tables for B97-family (incl. range-separated / meta-GGA) XC.
+
+The reference evaluates these functionals through libxc (GPU4PySCF
+``ni.eval_xc_eff``, /root/reference/jqc/pyscf/rks.py:341).  No libxc is
+available in this environment, so the functionals are implemented from
+their defining papers; this module isolates the *data* so it can be
+audited/corrected independently of the machinery (dft/xc.py).
+
+Conventions:
+ - ``x``  : inhomogeneity coefficients for the exchange series
+ - ``css``: same-spin correlation series
+ - ``cos``: opposite-spin correlation series
+ - GGA series (B97, wB97X-V): list [c0, c1, c2, ...] in powers of
+   u = gamma*x^2/(1+gamma*x^2)
+ - mGGA series (wB97M-V): dict {(i, j): c} for  c * w^i * u^j  with
+   w = (t-1)/(t+1), t = tau_unif/tau
+ - ``gamma``: (gamma_x, gamma_ss, gamma_os); B97-standard
+   (0.004, 0.2, 0.006) for every member.
+
+Provenance / verification status:
+ - B97:      Becke, J. Chem. Phys. 107, 8554 (1997), Table II.  VERIFIED
+             by the UEG-limit identities in tests/test_xc_b97.py.
+ - wB97X-V:  Mardirossian & Head-Gordon, PCCP 16, 9904 (2014), Table 3.
+             10-parameter form: 3 exchange + 2 css + 2 cos (+ cx_sr,
+             omega, VV10 b, C).
+ - wB97M-V:  Mardirossian & Head-Gordon, JCP 144, 214110 (2016), Table 3.
+             UNVERIFIED-DATA: the sparse (i,j) term selection below is
+             reconstructed from memory of the paper and must be checked
+             against the publication or a libxc dump before production
+             use (the machinery is exact; only these numbers are at
+             risk).  Energy-parity tests are gated accordingly.
+"""
+
+B97_GAMMA = (0.004, 0.2, 0.006)
+
+FUNCTIONALS = {
+    # Becke 1997 hybrid GGA: 19.43% exact exchange.
+    "b97": dict(
+        family="gga",
+        series="gga",
+        x=[0.8094, 0.5073, 0.7481],
+        css=[0.1737, 2.3487, -2.4868],
+        cos=[0.9454, 0.7471, -4.5961],
+        hyb=0.1943,
+        alpha=0.1943,
+        omega=0.0,
+        nlc=None,
+    ),
+    # wB97X-V: RSH GGA + VV10. SR-HF 16.7%, LR-HF 100%, omega=0.3.
+    "wb97x-v": dict(
+        family="gga",
+        series="gga",
+        x=[0.833, 0.603, 1.194],
+        css=[0.556, -0.257],
+        cos=[1.219, -1.850],
+        hyb=0.167,
+        alpha=1.0,
+        omega=0.3,
+        nlc=(6.0, 0.01),
+    ),
+    # wB97M-V: RSH meta-GGA + VV10. SR-HF 15%, LR-HF 100%, omega=0.3.
+    # UNVERIFIED-DATA -- see module docstring.
+    "wb97m-v": dict(
+        family="mgga",
+        series="mgga",
+        x={(0, 0): 0.85, (1, 0): 1.007, (0, 1): 0.259},
+        css={
+            (0, 0): 0.443,
+            (1, 0): -1.437,
+            (0, 4): -4.535,
+            (1, 3): -0.640,
+            (4, 3): 0.559,
+        },
+        cos={
+            (0, 0): 1.000,
+            (1, 0): 1.358,
+            (2, 0): 2.924,
+            (0, 6): -8.812,
+            (1, 6): -1.390,
+            (6, 1): 9.142,
+        },
+        hyb=0.15,
+        alpha=1.0,
+        omega=0.3,
+        nlc=(6.0, 0.01),
+    ),
+}

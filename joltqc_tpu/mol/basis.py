@@ -43,8 +43,12 @@ def available_basis_sets():
     )
 
 
+_NAME_ALIASES = {"6-31g*": "6-31gs", "6-31g(d)": "6-31gs"}
+
+
 def _basis_path(name: str) -> str:
-    fname = name.lower().replace("*", "_st_").replace("/", "_") + ".dat"
+    key = _NAME_ALIASES.get(name.lower(), name.lower())
+    fname = key.replace("*", "_st_").replace("/", "_") + ".dat"
     path = os.path.join(_BASIS_DIR, fname)
     if not os.path.exists(path):
         raise FileNotFoundError(

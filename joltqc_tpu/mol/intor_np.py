@@ -143,7 +143,7 @@ def _one_electron(mol: Molecule, kind: str) -> np.ndarray:
     nao = mol.nao
     ao_loc = mol.ao_loc
     out = np.zeros((nao, nao))
-    zs = mol.atom_charges.astype(np.float64)
+    zs = mol.atom_charges_eff  # ECP atoms: Z - ncore
     for isab, sh_i in enumerate(mol.shells):
         ci_comps = cart_components(sh_i.l)
         for jsab, sh_j in enumerate(mol.shells):

@@ -41,6 +41,10 @@ class Molecule:
     cart: bool = False
     basis: str = "sto-3g"
     shells: list[Shell] = field(default_factory=list)
+    # effective core potential: {element symbol: ECPData} (mol/ecp.py);
+    # replaces core electrons -- nelectron / energy_nuc / the nuclear
+    # attraction integrals all use the effective charge Z - ncore
+    ecp: dict = None
 
     # ------------------------------------------------------------ build
     @classmethod
@@ -52,8 +56,13 @@ class Molecule:
         charge: int = 0,
         spin: int = 0,
         cart: bool = False,
+        ecp=None,
     ) -> "Molecule":
-        """PySCF-style atom string: 'O 0 0 0; H 0 0 1' or newline-separated."""
+        """PySCF-style atom string: 'O 0 0 0; H 0 0 1' or newline-separated.
+
+        ``ecp``: NWChem-format ECP text block, or a pre-parsed
+        {symbol: ECPData} dict.
+        """
         symbols, coords = [], []
         for entry in atom.replace(";", "\n").splitlines():
             parts = entry.split()
@@ -64,6 +73,10 @@ class Molecule:
         coords = np.asarray(coords, np.float64)
         if unit.lower().startswith("a"):
             coords = coords / BOHR
+        if isinstance(ecp, str):
+            from .ecp import parse_nwchem_ecp
+
+            ecp = parse_nwchem_ecp(ecp)
         m = cls(
             atom_symbols=symbols,
             coords=coords,
@@ -71,6 +84,7 @@ class Molecule:
             spin=spin,
             cart=cart,
             basis=basis,
+            ecp=ecp,
         )
         m.build()
         return m
@@ -108,9 +122,24 @@ class Molecule:
     def atom_charges(self) -> np.ndarray:
         return np.array([charge_of(s) for s in self.atom_symbols])
 
+    def atom_ncore(self, ia: int) -> int:
+        """Core electrons replaced by an ECP on atom ia (0 if none)."""
+        if not self.ecp:
+            return 0
+        data = self.ecp.get(self.atom_symbols[ia].capitalize())
+        return data.ncore if data is not None else 0
+
+    @property
+    def atom_charges_eff(self) -> np.ndarray:
+        """Nuclear charges minus ECP core electrons (what electrons see)."""
+        z = self.atom_charges.astype(np.float64)
+        if self.ecp:
+            z = z - np.array([self.atom_ncore(i) for i in range(self.natm)])
+        return z
+
     @property
     def nelectron(self) -> int:
-        return int(self.atom_charges.sum()) - self.charge
+        return int(round(self.atom_charges_eff.sum())) - self.charge
 
     def nf(self, l: int) -> int:
         return nf_cart(l) if self.cart else nf_sph(l)
@@ -125,7 +154,7 @@ class Molecule:
         return np.concatenate([[0], np.cumsum(sizes)]).astype(np.int32)
 
     def energy_nuc(self) -> float:
-        z = self.atom_charges.astype(np.float64)
+        z = self.atom_charges_eff
         r = self.coords
         e = 0.0
         for i in range(self.natm):

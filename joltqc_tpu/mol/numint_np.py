@@ -47,30 +47,45 @@ def eval_ao_np(layout: BasisLayout, points, deriv: int = 0):
     return ao
 
 
-def eval_rho_np(layout: BasisLayout, points, dm_int, gga: bool):
-    """rho (1 or 4, npts) in f64."""
-    if gga:
+def _fam(family):
+    if isinstance(family, bool):  # back-compat: gga flag
+        return "gga" if family else "lda"
+    return family
+
+
+def eval_rho_np(layout: BasisLayout, points, dm_int, family):
+    """rho rows (1 | 4 | 5, npts) in f64; family: 'lda'|'gga'|'mgga'."""
+    family = _fam(family)
+    if family != "lda":
         ao, dx, dy, dz = eval_ao_np(layout, points, deriv=1)
     else:
         ao = eval_ao_np(layout, points)
     t = ao @ dm_int
     rho0 = (t * ao).sum(1)
-    if not gga:
+    if family == "lda":
         return rho0[None, :]
-    return np.stack([rho0] + [2.0 * (t * d).sum(1) for d in (dx, dy, dz)])
+    rows = [rho0] + [2.0 * (t * d).sum(1) for d in (dx, dy, dz)]
+    if family == "mgga":
+        tau = sum(((d @ dm_int) * d).sum(1) for d in (dx, dy, dz))
+        rows.append(0.5 * tau)
+    return np.stack(rows)
 
 
-def eval_vxc_np(layout: BasisLayout, points, wv, gga: bool):
+def eval_vxc_np(layout: BasisLayout, points, wv, family):
     """V_xc matrix (internal basis) in f64 from potential rows wv."""
-    if gga:
+    family = _fam(family)
+    if family != "lda":
         ao, dx, dy, dz = eval_ao_np(layout, points, deriv=1)
     else:
         ao = eval_ao_np(layout, points)
     mid = ao * (0.5 * wv[0])[:, None]
-    if gga:
+    if family != "lda":
         for d, dao in enumerate((dx, dy, dz)):
             mid = mid + dao * wv[1 + d][:, None]
     half = ao.T @ mid
+    if family == "mgga":
+        for dao in (dx, dy, dz):
+            half = half + dao.T @ (dao * (0.25 * wv[4])[:, None])
     return half + half.T
 
 

@@ -27,7 +27,7 @@ def _tree_take(tree, idx):
     return jax.tree.map(lambda x: x[idx], tree)
 
 
-def contracted_eri_batch(tier: str, ls, nprims, quartet):
+def contracted_eri_batch(tier: str, ls, nprims, quartet, omega: float = 0.0):
     """Cartesian ERI blocks (T, nfab, nfcd) for a batch of shell quartets.
 
     quartet: dict with, per center X in a,b,c,d:
@@ -35,6 +35,7 @@ def contracted_eri_batch(tier: str, ls, nprims, quartet):
                same shape for the df64 tier)
       exps_X:  (T, npX)
       coefs_X: (T, npX)
+    omega > 0: long-range erf(omega*r12)/r12 kernel (see ops/md.py).
     """
     ar = get_arith(tier)
     la, lb, lc, ld = ls
@@ -64,7 +65,7 @@ def contracted_eri_batch(tier: str, ls, nprims, quartet):
 
     npab, npcd = len(bra_pairs), len(ket_pairs)
     if npab * npcd == 1:
-        return cart_eri_primitive(ar, ls, bra_pairs[0], ket_pairs[0])
+        return cart_eri_primitive(ar, ls, bra_pairs[0], ket_pairs[0], omega)
 
     bra_stack = _tree_stack(bra_pairs)
     ket_stack = _tree_stack(ket_pairs)
@@ -74,7 +75,7 @@ def contracted_eri_batch(tier: str, ls, nprims, quartet):
 
     def body(acc, x):
         pdata, qdata = x
-        blk = cart_eri_primitive(ar, ls, pdata, qdata)
+        blk = cart_eri_primitive(ar, ls, pdata, qdata, omega)
         from . import df64 as _df
 
         if tier in ("df64", "fp64"):

@@ -293,10 +293,19 @@ def stack_e_pairs(ar, li: int, lj: int, ET):
     return ar.take(box, box_tri_index(lab), axis=-1)
 
 
-def cart_eri_primitive(ar, ls, pdata, qdata):
+def cart_eri_primitive(ar, ls, pdata, qdata, omega: float = 0.0):
     """Cartesian ERI block (T, nfab, nfcd) for one primitive quartet batch.
 
     Includes the 2 pi^{5/2}/(pq sqrt(p+q)) prefactor and coefficients.
+
+    ``omega`` > 0 evaluates the long-range erf(omega*r12)/r12 kernel
+    instead of 1/r12 (range separation; reference counterpart: theta_fac
+    scaling in /root/reference/jqc/backend/rys/rys_roots.cu:42-47).  The
+    identity used: replace theta by theta' = theta*w^2/(theta+w^2)
+    everywhere in the Hermite-R construction and scale by sqrt(theta'/
+    theta) -- exact, since erf/r differs from 1/r only by a Gaussian
+    factor exp(-k^2/4w^2) in Fourier space, which shifts 1/4theta by
+    1/4w^2.
     """
     la, lb, lc, ld = ls
     lab, lcd = la + lb, lc + ld
@@ -305,6 +314,12 @@ def cart_eri_primitive(ar, ls, pdata, qdata):
     p, q = pdata["p"], qdata["p"]
     pq_sum = ar.add(p, q)
     theta = ar.div(ar.mul(p, q), pq_sum)
+    rs_fac = None
+    if omega and omega > 0.0:
+        w2 = ar.const(float(omega) ** 2, ar.hi(theta).shape)
+        fac = ar.div(w2, ar.add(theta, w2))
+        theta = ar.mul(theta, fac)
+        rs_fac = ar.sqrt(fac)
     PQ = ar.sub(pdata["P"], qdata["P"])  # (T,3)
     boys_vals = ar.boys(L, ar.mul(theta, _sumsq(ar, PQ)))
     RS = r_tensor_stacked(ar, L, theta, PQ, boys_vals)  # (T, NR)
@@ -331,6 +346,8 @@ def cart_eri_primitive(ar, ls, pdata, qdata):
         ar.const(2.0 * math.pi ** 2.5, Tshape),
         ar.recip(ar.mul(ar.mul(p, q), ar.sqrt(pq_sum))),
     )
+    if rs_fac is not None:
+        pref = ar.mul(pref, rs_fac)
     pref = ar.mul(pref, ar.mul(pdata["coef"], qdata["coef"]))
     return ar.mul(out, pref[..., None, None])
 

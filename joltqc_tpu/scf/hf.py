@@ -46,7 +46,14 @@ class RHF:
 
     # ---------------------------------------------------------------- core
     def get_hcore(self):
-        return intor_np.kinetic(self.mol) + intor_np.nuclear(self.mol)
+        h = intor_np.kinetic(self.mol) + intor_np.nuclear(self.mol)
+        if getattr(self.mol, "ecp", None):
+            if not hasattr(self, "_ecp_mat"):
+                from .ecp import ECPEngine
+
+                self._ecp_mat = ECPEngine(self.layout).build()
+            h = h + self._ecp_mat
+        return h
 
     def get_ovlp(self):
         return intor_np.overlap(self.mol)

@@ -144,7 +144,7 @@ def _cat_vals(parts):
 
 
 @lru_cache(maxsize=None)
-def _class_scan_fn(ls, nprims, tier, nao, with_j, with_k):
+def _class_scan_fn(ls, nprims, tier, nao, with_j, with_k, omega=0.0):
     """Jitted Fock-contribution scan for one task class.
 
     Signature: fn(tables, tasks, dm, vj, vk) -> (vj, vk), where
@@ -170,7 +170,7 @@ def _class_scan_fn(ls, nprims, tier, nao, with_j, with_k):
                 geom[f"coord_{name}"] = _take(coord, idx)
                 geom[f"exps_{name}"] = _take(exps, idx)
                 geom[f"coefs_{name}"] = _take(coefs, idx)
-            G = contracted_eri_batch(tier, ls, nprims, geom)
+            G = contracted_eri_batch(tier, ls, nprims, geom, omega)
             # fold symmetry weight (exact: powers of two)
             if isdf:
                 G = df.DF64(G.hi * wc[:, None, None], G.lo * wc[:, None, None])
@@ -332,9 +332,14 @@ class JKEngine:
         return plan
 
     # ---------------------------------------------------------------- jk
-    def get_jk(self, dm_mol, with_j=True, with_k=True):
+    def get_jk(self, dm_mol, with_j=True, with_k=True, omega=0.0):
+        """J/K matrices; omega > 0 uses the long-range erf(omega*r)/r
+        kernel (range-separated hybrids).  The Schwarz task plan is shared
+        with omega=0: full-Coulomb q bounds upper-bound the attenuated
+        integrals, so screening stays valid (slightly conservative)."""
         lay = self.layout
         nao = self.nao
+        omega = float(omega or 0.0)
         dm_int = lay.dm_to_internal(np.asarray(dm_mol, np.float64))
         logdm = float(np.log(max(np.abs(dm_int).max(), 1e-30)))
 
@@ -352,7 +357,7 @@ class JKEngine:
             tables = self._tables(tier)
             tbls = tuple(tables[k] for k in entry["cls_idx"])
             fn = _class_scan_fn(
-                entry["ls"], entry["nprims"], tier, nao, with_j, with_k
+                entry["ls"], entry["nprims"], tier, nao, with_j, with_k, omega
             )
             vj, vk = fn(
                 tbls, entry["tasks"], dm_df if tier == "df64" else dm_f32, vj, vk

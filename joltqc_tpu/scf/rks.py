@@ -3,9 +3,14 @@
 Reference counterpart: /root/reference/jqc/pyscf/rks.py (generate_rks_kernel,
 generate_get_veff -- closures patched onto GPU4PySCF RKS objects).  Here
 the driver is standalone: it reuses the RHF SCF loop (scf/hf.py) and
-overrides ``get_veff``/``energy_elec`` with grid XC + J (+ hybrid K),
-mirroring the decomposition of the reference's get_veff
-(jqc/pyscf/rks.py:180-262).
+overrides ``get_veff``/``energy_elec`` with grid XC + J (+ hybrid /
+range-separated K), mirroring the decomposition of the reference's
+get_veff (jqc/pyscf/rks.py:180-262) including the RSH composition
+K_eff = hyb*K + (alpha-hyb)*K_lr(omega).
+
+Supports LDA / GGA / meta-GGA (tau) functionals, global hybrids,
+range-separated hybrids, and VV10 nonlocal correlation (defaults pulled
+from the functional's own nlc metadata, e.g. wb97x-v / wb97m-v).
 
 Incremental-DFT caching (reference jqc/pyscf/rks.py:290,329-359): rho and
 the XC matrix are evaluated on the FULL dm each cycle for now; the
@@ -19,7 +24,7 @@ import numpy as np
 
 from ..dft.grids import Grids
 from ..dft.numint import NumInt, eval_rho_all, eval_vxc_mat
-from ..dft.xc import eval_xc, hybrid_coeff, is_gga
+from ..dft.xc import eval_xc, nlc_coeff, rsh_coeff, xc_family
 from .hf import RHF
 
 
@@ -34,10 +39,18 @@ class RKS(RHF):
     ):
         super().__init__(mol, **kw)
         self.xc = xc
-        self.gga = is_gga(xc)
-        self.hyb = hybrid_coeff(xc)
-        # nlc: None | True (VV10 defaults b=5.9, C=0.0093) | (b, C)
-        self.nlc = (5.9, 0.0093) if nlc is True else nlc
+        self.family = xc_family(xc)
+        self.omega, self.alpha, self.hyb = rsh_coeff(xc)
+        # nlc: None (functional default) | False (off) | True (VV10
+        # b=5.9, C=0.0093) | (b, C)
+        if nlc is None:
+            self.nlc = nlc_coeff(xc)
+        elif nlc is True:
+            self.nlc = (5.9, 0.0093)
+        elif nlc is False:
+            self.nlc = None
+        else:
+            self.nlc = nlc
         self.grids = grids if grids is not None else Grids(mol)
         self.ni = NumInt(self.layout)
         self._ecoul = 0.0
@@ -48,13 +61,19 @@ class RKS(RHF):
         if self.grids.coords is None:
             self.grids.build()
         lay = self.layout
-        dm_int = lay.dm_to_internal(np.asarray(dm, np.float64))
+        dm = np.asarray(dm, np.float64)
+        dm_int = lay.dm_to_internal(dm)
 
-        need_grad = self.gga or self.nlc is not None
-        rho = eval_rho_all(self.ni, self.grids, dm_int, need_grad)
-        sigma = (rho[1:] ** 2).sum(axis=0) if need_grad else None
-        e, vr, vs = eval_xc(self.xc, rho[0], sigma if self.gga else None)
-        if not self.gga:
+        fam = self.family
+        need_grad = fam != "lda" or self.nlc is not None
+        rho_fam = fam if fam != "lda" or self.nlc is None else "gga"
+        rho = eval_rho_all(self.ni, self.grids, dm_int, rho_fam)
+        sigma = (rho[1:4] ** 2).sum(axis=0) if need_grad else None
+        tau = rho[4] if fam == "mgga" else None
+        e, vr, vs, vt = eval_xc(
+            self.xc, rho[0], sigma if fam != "lda" else None, tau
+        )
+        if fam == "lda":
             vs = np.zeros_like(vr)
 
         w = self.grids.weights
@@ -74,18 +93,25 @@ class RKS(RHF):
             vs = vs + vs_n
 
         if need_grad:
-            wv = np.concatenate(
-                [(w * vr)[None, :], 2.0 * (w * vs)[None, :] * rho[1:]]
-            )
+            wv_rows = [(w * vr)[None, :], 2.0 * (w * vs)[None, :] * rho[1:4]]
+            if fam == "mgga":
+                wv_rows.append((w * vt)[None, :])
+            wv = np.concatenate(wv_rows)
+            vxc_fam = "mgga" if fam == "mgga" else "gga"
         else:
             wv = (w * vr)[None, :]
-        vxc_int = eval_vxc_mat(self.ni, self.grids, wv, need_grad)
+            vxc_fam = "lda"
+        vxc_int = eval_vxc_mat(self.ni, self.grids, wv, vxc_fam)
         vxc = lay.mat_to_mol(vxc_int)
 
-        if self.hyb > 0:
+        if self.hyb > 0 or self.omega > 0:
             vj, vk = self.jk.get_jk(dm)
-            veff = vxc + vj - 0.5 * self.hyb * vk
-            exc -= 0.25 * self.hyb * float(np.einsum("ij,ij->", dm, vk))
+            vk_eff = self.hyb * vk
+            if self.omega > 0 and abs(self.alpha - self.hyb) > 1e-12:
+                _, vk_lr = self.jk.get_jk(dm, with_j=False, omega=self.omega)
+                vk_eff = vk_eff + (self.alpha - self.hyb) * vk_lr
+            veff = vxc + vj - 0.5 * vk_eff
+            exc -= 0.25 * float(np.einsum("ij,ij->", dm, vk_eff))
         else:
             vj, _ = self.jk.get_jk(dm, with_k=False)
             veff = vxc + vj

@@ -50,13 +50,13 @@ def test_becke_grid_integrates_gaussians():
 # --------------------------------------------------------------------- xc
 def test_xc_lda_limits():
     rho = np.array([2.0, 1.0, 0.3, 1e-3])
-    e, vr, _ = eval_xc("slater", rho)
+    e, vr = eval_xc("slater", rho)[:2]
     np.testing.assert_allclose(e, -0.75 * (3 / np.pi) ** (1 / 3) * rho ** (4 / 3))
     np.testing.assert_allclose(vr, 4 / 3 * e / rho, rtol=1e-12)
     # VWN5 / PW92 eps_c at rs=1: published values -0.0600 / -0.0598
     rho_rs1 = np.array([3 / (4 * np.pi)])
-    e5, _, _ = eval_xc("vwn5", rho_rs1)
-    e9, _, _ = eval_xc("pw92", rho_rs1)
+    e5 = eval_xc("vwn5", rho_rs1)[0]
+    e9 = eval_xc("pw92", rho_rs1)[0]
     assert abs(e5[0] / rho_rs1[0] + 0.06002) < 5e-5
     assert abs(e9[0] / rho_rs1[0] + 0.05977) < 5e-5
 
@@ -64,10 +64,10 @@ def test_xc_lda_limits():
 def test_xc_gga_reduces_to_lda():
     rho = np.array([1.0, 0.4, 0.02])
     z = np.zeros(3)
-    e_pbe, _, _ = eval_xc("pbe", rho, z)
+    e_pbe = eval_xc("pbe", rho, z)[0]
     e_ref = eval_xc("slater", rho)[0] + eval_xc("pw92", rho)[0]
     np.testing.assert_allclose(e_pbe, e_ref, atol=1e-14)
-    e_b88, _, _ = eval_xc("b88", rho, z)
+    e_b88 = eval_xc("b88", rho, z)[0]
     np.testing.assert_allclose(e_b88, eval_xc("slater", rho)[0], atol=1e-14)
 
 
@@ -75,7 +75,7 @@ def test_xc_gga_reduces_to_lda():
 def test_xc_autodiff_vs_fd(xc):
     rho = np.array([0.8, 0.1])
     sig = np.array([0.3, 0.02])
-    _, vr, vs = eval_xc(xc, rho, sig)
+    _, vr, vs, _ = eval_xc(xc, rho, sig)
     h = 1e-6
     for i, (arr, v) in enumerate(((rho, vr), (sig, vs))):
         args_p = [rho.copy(), sig.copy()]

@@ -64,6 +64,26 @@ def test_jk_fp32_tier_accuracy():
     assert np.abs(vk - vk_ref).max() < 1e-3
 
 
+def test_jk_omega_long_range():
+    """erf(omega*r)/r kernel vs the numpy oracle (reference counterpart:
+    test_jk.py omega cases, /root/reference/jqc/pyscf/tests/test_jk.py:187)."""
+    omega = 0.3
+    mol = Molecule.from_atom_string(H2O, basis="sto-3g")
+    dm = _rand_sym_dm(mol.nao, seed=5)
+    g = intor_np.eri(mol, omega=omega)
+    vj_ref = np.einsum("ijkl,kl->ij", g, dm)
+    vk_ref = np.einsum("ikjl,kl->ij", g, dm)
+    eng = JKEngine(BasisLayout(mol), cutoff_fp32=1e-30, cutoff_fp64=1e-30)
+    vj, vk = eng.get_jk(dm, omega=omega)
+    assert np.abs(vj - vj_ref).max() < 1e-9, np.abs(vj - vj_ref).max()
+    assert np.abs(vk - vk_ref).max() < 1e-9, np.abs(vk - vk_ref).max()
+    # and the mixed tier stays within the f32 envelope
+    eng2 = JKEngine(BasisLayout(mol), cutoff_fp32=1e-14, cutoff_fp64=1e-7)
+    vj2, vk2 = eng2.get_jk(dm, omega=omega)
+    assert np.abs(vj2 - vj_ref).max() < 1e-5
+    assert np.abs(vk2 - vk_ref).max() < 1e-5
+
+
 def test_rhf_h2o_sto3g():
     mol = Molecule.from_atom_string(H2O, basis="sto-3g")
     mf = RHF(mol, conv_tol=1e-11)
