@@ -620,6 +620,34 @@ def _type1_kernel(la, npa, lb, npb, kch):
     return jax.jit(fn)
 
 
+# ===================================================== derivative maps
+@lru_cache(maxsize=None)
+def _shift_maps(l: int):
+    """Cartesian-component maps for d/dA via angular-momentum shifts.
+
+    d/dA_d phi_(comp) = 2a * phi_(comp + e_d)  -  comp[d] * phi_(comp - e_d)
+    (reference counterpart: the shifted-LI derivative kernels,
+    /root/reference/jqc/backend/ecp/ecp_type1_ip.cu).
+    Returns (plus_idx (3, nf), minus_idx (3, nf), minus_coef (3, nf));
+    minus_idx = 0 with coef 0 when comp[d] == 0."""
+    comps = cart_components(l)
+    up = {c: i for i, c in enumerate(cart_components(l + 1))}
+    dn = {c: i for i, c in enumerate(cart_components(l - 1))} if l > 0 else {}
+    nf = len(comps)
+    plus = np.zeros((3, nf), np.int64)
+    minus = np.zeros((3, nf), np.int64)
+    mcoef = np.zeros((3, nf))
+    for fi, c in enumerate(comps):
+        for d in range(3):
+            e = [0, 0, 0]
+            e[d] = 1
+            plus[d, fi] = up[(c[0] + e[0], c[1] + e[1], c[2] + e[2])]
+            if c[d] > 0:
+                minus[d, fi] = dn[(c[0] - e[0], c[1] - e[1], c[2] - e[2])]
+                mcoef[d, fi] = c[d]
+    return plus, minus, mcoef
+
+
 # =============================================================== engine
 class ECPEngine:
     """Batched TPU evaluation of the full ECP matrix over a BasisLayout.
@@ -635,7 +663,7 @@ class ECPEngine:
         self._centers = self._collect_channels()
 
     def _collect_channels(self):
-        """[(C coord, l, powers, exps, coefs)] for every (atom, channel)."""
+        """[(C coord, l, powers, exps, coefs, atom_idx)] per (atom, channel)."""
         mol = self.mol
         out = []
         if not getattr(mol, "ecp", None):
@@ -646,7 +674,7 @@ class ECPEngine:
                 continue
             C = mol.coords[ia]
             for ch in data.channels:
-                out.append((C, ch.l, ch.powers, ch.exps, ch.coefs))
+                out.append((C, ch.l, ch.powers, ch.exps, ch.coefs, ia))
         return out
 
     # ------------------------------------------------------------ tasks
@@ -656,7 +684,9 @@ class ECPEngine:
         for ci in range(len(classes)):
             for cj in range(ci + 1):
                 c1, c2 = classes[ci], classes[cj]
-                for icen, (C, l, powers, exps, coefs) in enumerate(self._centers):
+                for icen, (C, l, powers, exps, coefs, _ia) in enumerate(
+                    self._centers
+                ):
                     tasks = []
                     zmin = float(exps.min())
                     for si in range(c1.nshell):
@@ -686,9 +716,13 @@ class ECPEngine:
                     if tasks:
                         yield ci, cj, icen, tasks
 
-    def _geom(self, c1: ShellClass, c2: ShellClass, cen, tasks, kch):
-        """Pack a padded task chunk into DF64 device arrays."""
-        C, l, powers, exps, coefs = cen
+    def _geom(self, c1: ShellClass, c2: ShellClass, cen, tasks, kch,
+              scale_a=False, scale_b=False):
+        """Pack a padded task chunk into DF64 device arrays.
+
+        scale_a/scale_b: multiply that side's contraction coefficients by
+        2*exponent (the raising term of the d/dA shift identity)."""
+        C, l, powers, exps, coefs, _ia = cen
         B = len(tasks)
         si = np.array([t[0] for t in tasks], np.int32)
         sj = np.array([t[1] for t in tasks], np.int32)
@@ -699,20 +733,54 @@ class ECPEngine:
         z[:, : len(exps)] = exps
         for k, n in enumerate(powers):
             n1h[:, k, int(n)] = 1.0
+        ca = c1.coefs[si]
+        cb = c2.coefs[sj]
+        if scale_a:
+            ca = 2.0 * c1.exps[si] * ca
+        if scale_b:
+            cb = 2.0 * c2.exps[sj] * cb
         geom = dict(
             coord_a=df.from_f64(c1.coords[si]),
             coord_b=df.from_f64(c2.coords[sj]),
             coord_c=df.from_f64(np.broadcast_to(C, (B, 3)).copy()),
             exps_a=df.from_f64(c1.exps[si]),
             exps_b=df.from_f64(c2.exps[sj]),
-            coefs_a=df.from_f64(c1.coefs[si]),
-            coefs_b=df.from_f64(c2.coefs[sj]),
+            coefs_a=df.from_f64(ca),
+            coefs_b=df.from_f64(cb),
             ch_d=df.from_f64(d),
             ch_z=df.from_f64(z),
             ch_n=jnp.asarray(n1h),
             zmin=jnp.full((B,), float(exps.min()), jnp.float32),
         )
         return geom, si, sj
+
+    @staticmethod
+    def _run_kernel(geom, la, npa, lb, npb, l, kch):
+        """Dispatch the type1/type2 kernel; returns f64 (B, nfa, nfb)."""
+        if l < 0:
+            fn = _type1_kernel(la, npa, lb, npb, kch)
+        else:
+            fn = _type2_kernel(la, npa, lb, npb, l, kch)
+        hi_lo = np.asarray(fn(geom), np.float64)
+        return hi_lo[0] + hi_lo[1]
+
+    def _deriv_a(self, c1, c2, cen, chunk, kch):
+        """d/dA blocks (3, B, nfa, nfb): bra-center derivative via the
+        angular-momentum shift identity (see _shift_maps)."""
+        l, la, lb = cen[1], c1.l, c2.l
+        geom_p, _, _ = self._geom(c1, c2, cen, chunk, kch, scale_a=True)
+        Vp = self._run_kernel(geom_p, la + 1, c1.nprim, lb, c2.nprim, l, kch)
+        plus, minus, mcoef = _shift_maps(la)
+        out = Vp[:, plus, :].transpose(1, 0, 2, 3)  # (3, B, nfa, nfb)
+        if la > 0:
+            geom_m, _, _ = self._geom(c1, c2, cen, chunk, kch)
+            Vm = self._run_kernel(
+                geom_m, la - 1, c1.nprim, lb, c2.nprim, l, kch
+            )
+            out = out - mcoef[:, None, :, None] * Vm[:, minus, :].transpose(
+                1, 0, 2, 3
+            )
+        return out
 
     # ------------------------------------------------------------- matrix
     def build(self) -> np.ndarray:
@@ -748,6 +816,86 @@ class ECPEngine:
                     if not same_shell:
                         V[b0 : b0 + nfb, a0 : a0 + nfa] += blk.T
         return lay.mat_to_mol(V)
+
+    # --------------------------------------------------------- derivatives
+    def _deriv_chunks(self):
+        """Yield per-chunk derivative data for gradient/ip assembly.
+
+        Yields (c1, c2, same_class, atomC, si, sj, dA, dB) where dA/dB are
+        (3, B, nfa, nfb) derivatives w.r.t. the bra/ket shell centers."""
+        for ci, cj, icen, tasks in self._tasks():
+            c1, c2 = self.classes[ci], self.classes[cj]
+            cen = self._centers[icen]
+            kch = len(cen[3])
+            B = min(self.chunk, len(tasks))
+            for s in range(0, len(tasks), B):
+                chunk = tasks[s : s + B]
+                pad = B - len(chunk)
+                chunk = chunk + [chunk[-1]] * pad
+                si = np.array([t[0] for t in chunk], np.int32)
+                sj = np.array([t[1] for t in chunk], np.int32)
+                dA = self._deriv_a(c1, c2, cen, chunk, kch)
+                # ket derivative by operator symmetry: swap sides, transpose
+                swapped = [(int(b), int(a)) for a, b in chunk]
+                dB = self._deriv_a(c2, c1, cen, swapped, kch).transpose(
+                    0, 1, 3, 2
+                )
+                n = len(chunk) - pad
+                yield c1, c2, ci == cj, cen[5], si[:n], sj[:n], dA[:, :n], dB[:, :n]
+
+    def build_ip(self) -> np.ndarray:
+        """Bra-derivative ECP matrices per ECP atom: (necp, 3, nao, nao).
+
+        ip[k, d] = <d/dA_d phi_i | U_k | phi_j> (derivative on the bra
+        shell center A).  Reference counterpart: get_ecp_ip
+        (/root/reference/jqc/backend/ecp.py:953, ECP_ATOM_ID slots)."""
+        lay = self.layout
+        nao = lay.nao_int
+        ecp_atoms = sorted({c[5] for c in self._centers})
+        slot = {ia: k for k, ia in enumerate(ecp_atoms)}
+        out = np.zeros((len(ecp_atoms), 3, nao, nao))
+        for c1, c2, same_class, atomC, si, sj, dA, dB in self._deriv_chunks():
+            k = slot[atomC]
+            for t in range(len(si)):
+                a0, b0 = int(c1.ao[si[t]]), int(c2.ao[sj[t]])
+                nfa, nfb = dA.shape[2], dA.shape[3]
+                out[k, :, a0 : a0 + nfa, b0 : b0 + nfb] += dA[:, t]
+                if not (same_class and si[t] == sj[t]):
+                    # mirrored pair (j, i): its bra derivative is dB^T
+                    out[k, :, b0 : b0 + nfb, a0 : a0 + nfa] += dB[
+                        :, t
+                    ].transpose(0, 2, 1)
+        mol_mats = np.stack(
+            [
+                np.stack([lay.mat_to_mol(out[k, d]) for d in range(3)])
+                for k in range(len(ecp_atoms))
+            ]
+        ) if ecp_atoms else out.reshape(0, 3, *lay.mat_to_mol(np.zeros((nao, nao))).shape)
+        return mol_mats
+
+    def gradient(self, dm_mol) -> np.ndarray:
+        """Nuclear gradient of E_ecp = sum_ij dm_ij V_ij: (natm, 3).
+
+        dm must be symmetric (an SCF density).  Uses translation
+        invariance dV/dC = -(dV/dA + dV/dB) for the ECP-center term."""
+        lay = self.layout
+        dm_int = lay.dm_to_internal(np.asarray(dm_mol, np.float64))
+        shells = self.mol.shells
+        grad = np.zeros((self.mol.natm, 3))
+        for c1, c2, same_class, atomC, si, sj, dA, dB in self._deriv_chunks():
+            for t in range(len(si)):
+                a0, b0 = int(c1.ao[si[t]]), int(c2.ao[sj[t]])
+                nfa, nfb = dA.shape[2], dA.shape[3]
+                blk_dm = dm_int[a0 : a0 + nfa, b0 : b0 + nfb]
+                w = 1.0 if (same_class and si[t] == sj[t]) else 2.0
+                ia = shells[int(c1.shell_ids[si[t]])].atom_idx
+                ib = shells[int(c2.shell_ids[sj[t]])].atom_idx
+                ga = w * np.einsum("dij,ij->d", dA[:, t], blk_dm)
+                gb = w * np.einsum("dij,ij->d", dB[:, t], blk_dm)
+                grad[ia] += ga
+                grad[ib] += gb
+                grad[atomC] -= ga + gb
+        return grad
 
 
 __all__ = ["ECPEngine"]

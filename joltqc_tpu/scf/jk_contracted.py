@@ -231,6 +231,10 @@ class JKEngine:
         self._tables64 = None
         self._plan = None
         self._plan_logdm = None
+        # per-class profiling (set profile=True to populate; the analogue
+        # of the reference's per-quartet-class CUDA-event timing logs)
+        self.profile = False
+        self.class_time: dict = {}
 
     # -------------------------------------------------------------- tables
     def _tables(self, tier):
@@ -332,17 +336,17 @@ class JKEngine:
         return plan
 
     # ---------------------------------------------------------------- jk
-    def get_jk(self, dm_mol, with_j=True, with_k=True, omega=0.0):
-        """J/K matrices; omega > 0 uses the long-range erf(omega*r)/r
-        kernel (range-separated hybrids).  The Schwarz task plan is shared
-        with omega=0: full-Coulomb q bounds upper-bound the attenuated
-        integrals, so screening stays valid (slightly conservative)."""
-        lay = self.layout
-        nao = self.nao
-        omega = float(omega or 0.0)
-        dm_int = lay.dm_to_internal(np.asarray(dm_mol, np.float64))
-        logdm = float(np.log(max(np.abs(dm_int).max(), 1e-30)))
+    def _run_plan(self, dm_int, with_j, with_k, omega):
+        """Raw folded accumulators over the canonical-task plan.
 
+        Returns (vj, vk) as f64 (nao, nao) partials P: the symmetric-dm
+        result is P + P^T (8-fold orbit unfolding).  Per-class wall times
+        are accumulated into self.class_time (reference counterpart: the
+        CUDA-event per-class timing logs, jqc/pyscf/jk.py:229-347)."""
+        import time as _time
+
+        nao = self.nao
+        logdm = float(np.log(max(np.abs(dm_int).max(), 1e-30)))
         if self._plan is None or logdm > self._plan_logdm:
             self._plan_logdm = logdm + 0.7  # reuse margin: ~2x density growth
             self._plan = self._build_plan(self._plan_logdm)
@@ -353,6 +357,7 @@ class JKEngine:
         vj = df.const(0.0, (nao * nao,))
         vk = df.const(0.0, (nao * nao,))
         for entry in self._plan:
+            t0 = _time.perf_counter()
             tier = entry["tier"]
             tables = self._tables(tier)
             tbls = tuple(tables[k] for k in entry["cls_idx"])
@@ -362,14 +367,55 @@ class JKEngine:
             vj, vk = fn(
                 tbls, entry["tasks"], dm_df if tier == "df64" else dm_f32, vj, vk
             )
+            if self.profile:
+                jax.block_until_ready(vj.hi if with_j else vk.hi)
+                key = (entry["ls"], entry["nprims"], tier)
+                self.class_time[key] = self.class_time.get(key, 0.0) + (
+                    _time.perf_counter() - t0
+                )
+        vj64 = df.to_f64(vj).reshape(nao, nao) if with_j else None
+        vk64 = df.to_f64(vk).reshape(nao, nao) if with_k else None
+        return vj64, vk64
 
-        out_j = out_k = None
-        if with_j:
-            vj64 = df.to_f64(vj).reshape(nao, nao)
-            out_j = lay.mat_to_mol(vj64 + vj64.T)
-        if with_k:
-            vk64 = df.to_f64(vk).reshape(nao, nao)
-            out_k = lay.mat_to_mol(vk64 + vk64.T)
+    def get_jk(self, dm_mol, with_j=True, with_k=True, omega=0.0, hermi=1):
+        """J/K matrices for one dm (nao, nao) or a stack (n, nao, nao).
+
+        omega > 0 uses the long-range erf(omega*r)/r kernel
+        (range-separated hybrids); the Schwarz task plan is shared with
+        omega=0 (full-Coulomb q bounds upper-bound the attenuated
+        integrals, so screening stays valid, slightly conservative).
+
+        hermi=0 handles non-symmetric dm (reference: dm+dm^T stacking,
+        jqc/pyscf/jk.py:189-192): J sees only the symmetric part exactly
+        ((ij|kl) is k<->l symmetric); K splits as K(dm) = K(dm_s) +
+        K(dm_a) where the antisymmetric part unfolds as P - P^T (the
+        orbit images transpose both the dm block and the output block,
+        validated against the dense oracle in tests/test_jk_engine.py).
+        """
+        dm = np.asarray(dm_mol, np.float64)
+        if dm.ndim == 3:  # multi-dm (reference: n_dm batching)
+            outs = [
+                self.get_jk(d, with_j, with_k, omega, hermi) for d in dm
+            ]
+            vj = np.stack([o[0] for o in outs]) if with_j else None
+            vk = np.stack([o[1] for o in outs]) if with_k else None
+            return vj, vk
+
+        lay = self.layout
+        omega = float(omega or 0.0)
+        sym = hermi == 1 or np.abs(dm - dm.T).max() < 1e-14 * max(
+            np.abs(dm).max(), 1.0
+        )
+        dms = dm if sym else 0.5 * (dm + dm.T)
+        vj, vk = self._run_plan(
+            lay.dm_to_internal(dms), with_j, with_k, omega
+        )
+        out_j = lay.mat_to_mol(vj + vj.T) if with_j else None
+        out_k = lay.mat_to_mol(vk + vk.T) if with_k else None
+        if not sym and with_k:
+            dma_int = lay.dm_to_internal(0.5 * (dm - dm.T))
+            _, pka = self._run_plan(dma_int, False, True, omega)
+            out_k = out_k + lay.mat_to_mol(pka - pka.T)
         return out_j, out_k
 
 

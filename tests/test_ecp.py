@@ -80,6 +80,44 @@ def test_ecp_engine_vs_oracle_sp():
     assert np.abs(V - V_ref).max() / scale < 1e-12, np.abs(V - V_ref).max()
 
 
+def _ecp_energy(atoms, dm):
+    mol = Molecule.from_atom_string(atoms, basis="sto-3g", ecp=H_ECP_TXT, unit="bohr")
+    lay = BasisLayout(mol)
+    return float(np.einsum("ij,ij->", dm, ECPEngine(lay).build()))
+
+
+@pytest.mark.slow
+def test_ecp_gradient_vs_finite_difference():
+    """Analytic d/dR of sum_ij dm_ij V_ij (angular-momentum-shift kernels)
+    vs central finite differences of the value engine.  Covers dA, dB and
+    the translation-invariance ECP-center term (atom 0 carries the ECP;
+    atom 1 probes the pure basis-center derivative)."""
+    base = np.array([[0.0, 0.0, 0.0], [0.4, -0.3, 2.1]])
+
+    def atoms(c):
+        return f"H {c[0,0]} {c[0,1]} {c[0,2]}; H {c[1,0]} {c[1,1]} {c[1,2]}"
+
+    mol = Molecule.from_atom_string(atoms(base), basis="sto-3g",
+                                    ecp=H_ECP_TXT, unit="bohr")
+    rng = np.random.default_rng(3)
+    a = rng.uniform(-1, 1, (mol.nao, mol.nao))
+    dm = a + a.T
+    lay = BasisLayout(mol)
+    grad = ECPEngine(lay).gradient(dm)
+
+    h = 2e-4
+    fd = np.zeros_like(grad)
+    for ia in range(2):
+        for d in range(3):
+            cp, cm = base.copy(), base.copy()
+            cp[ia, d] += h
+            cm[ia, d] -= h
+            fd[ia, d] = (_ecp_energy(atoms(cp), dm) - _ecp_energy(atoms(cm), dm)) / (
+                2 * h
+            )
+    assert np.abs(grad - fd).max() < 1e-7, (grad, fd)
+
+
 @pytest.mark.slow
 def test_rhf_with_ecp_vs_dense_oracle():
     """Full RHF with the ECP in hcore vs a dense-f64 oracle SCF."""

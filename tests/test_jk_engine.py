@@ -84,6 +84,35 @@ def test_jk_omega_long_range():
     assert np.abs(vk2 - vk_ref).max() < 1e-5
 
 
+def test_jk_hermi0_nonsymmetric_dm():
+    """Non-symmetric dm (hermi=0): K(dm) = sym-part + antisym P - P^T
+    unfolding (reference counterpart: dm/dm^T stacking,
+    /root/reference/jqc/pyscf/jk.py:189-192)."""
+    mol = Molecule.from_atom_string(H2O, basis="sto-3g")
+    rng = np.random.default_rng(11)
+    dm = rng.uniform(-1, 1, (mol.nao, mol.nao))  # NOT symmetric
+    g = intor_np.eri(mol)
+    vj_ref = np.einsum("ijkl,kl->ij", g, dm)
+    vk_ref = np.einsum("ikjl,kl->ij", g, dm)
+    eng = JKEngine(BasisLayout(mol), cutoff_fp32=1e-30, cutoff_fp64=1e-30)
+    vj, vk = eng.get_jk(dm, hermi=0)
+    assert np.abs(vj - vj_ref).max() < 1e-9, np.abs(vj - vj_ref).max()
+    assert np.abs(vk - vk_ref).max() < 1e-9, np.abs(vk - vk_ref).max()
+
+
+def test_jk_multi_dm():
+    """Stacked density matrices (reference: n_dm > 1, test_jk.py:123)."""
+    mol = Molecule.from_atom_string(H2O, basis="sto-3g")
+    dms = np.stack([_rand_sym_dm(mol.nao, seed=s) for s in (1, 2)])
+    g = intor_np.eri(mol)
+    eng = JKEngine(BasisLayout(mol), cutoff_fp32=1e-30, cutoff_fp64=1e-30)
+    vj, vk = eng.get_jk(dms)
+    assert vj.shape == dms.shape
+    for i in range(2):
+        assert np.abs(vj[i] - np.einsum("ijkl,kl->ij", g, dms[i])).max() < 1e-9
+        assert np.abs(vk[i] - np.einsum("ikjl,kl->ij", g, dms[i])).max() < 1e-9
+
+
 def test_rhf_h2o_sto3g():
     mol = Molecule.from_atom_string(H2O, basis="sto-3g")
     mf = RHF(mol, conv_tol=1e-11)
