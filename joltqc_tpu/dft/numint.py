@@ -14,18 +14,22 @@ sparsity lists).  TPU-native redesign:
        V_xc  += ao^T @ (W * ao)   (W folds weights and XC potentials)
    -- the TPU answer to the reference's per-pair CUDA loops: feed the
    systolic array large dense tiles and let padding be masked by zero
-   weights/coefficients.
- - per-block partial V/rho are accumulated in DF64 (ops/df64.py), so the
-   block-to-block accumulation adds no f32 noise.  Matmuls run at
-   precision=HIGHEST.  A full DF64 (Ozaki-split) matmul tier for <=1e-10
-   contraction error is the planned fp64 tier (see ops/mxu.py roadmap).
+   weights/coefficients;
+ - the WHOLE grid runs as ONE jitted ``lax.scan`` over blocks (a single
+   dispatch per rho / per V_xc build, instead of ngrid/1024 Python
+   dispatches -- the analogue of the reference launching one big CUDA
+   grid);
+ - per-block partial V are accumulated in DF64 (ops/df64.py) inside the
+   scan carry, so block-to-block accumulation adds no f32 noise.
+   Matmuls run at precision=HIGHEST.
 
-All kernels are shape-static and cached per (l-signature, G, nao).
+Supports LDA (rho), GGA (+grad rho), and meta-GGA (+tau) row families,
+matching the reference's eval_rho ndim convention (1 / 4 / 5 rows).
 """
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import numpy as np
 
@@ -61,51 +65,48 @@ def _group_data(layout: BasisLayout):
     return out
 
 
-@lru_cache(maxsize=None)
-def _ao_block_fn(l: int, S: int, P: int, G: int, deriv: int):
-    """jitted: grid block (G,3) + group arrays -> ao values (G, S*nf).
+def _ao_group(l, grid, coords, exps, coefs, deriv):
+    """Traced: one l-group's AO values on a grid block.
 
-    deriv=0: returns (ao,); deriv=1: (ao, dx, dy, dz).
-    """
+    grid (G,3); coords (S,3); exps/coefs (S,P).  Returns tuple of
+    (G, S*nf) arrays: (ao,) or (ao, dx, dy, dz)."""
     comps = cart_components(l)
     nf = len(comps)
+    G = grid.shape[0]
+    S = coords.shape[0]
+    rel = grid[:, None, :] - coords[None, :, :]  # (G,S,3)
+    r2 = jnp.sum(rel * rel, axis=-1)  # (G,S)
+    ex = jnp.exp(-exps[None, :, :] * r2[:, :, None])  # (G,S,P)
+    rad = jnp.sum(coefs[None, :, :] * ex, axis=-1)  # (G,S)
+    x, y, z = rel[..., 0], rel[..., 1], rel[..., 2]
 
-    def fn(grid, coords, exps, coefs):
-        rel = grid[:, None, :] - coords[None, :, :]  # (G,S,3)
-        r2 = jnp.sum(rel * rel, axis=-1)  # (G,S)
-        ex = jnp.exp(-exps[None, :, :] * r2[:, :, None])  # (G,S,P)
-        rad = jnp.sum(coefs[None, :, :] * ex, axis=-1)  # (G,S)
-        x, y, z = rel[..., 0], rel[..., 1], rel[..., 2]
+    def mono(lx, ly, lz):
+        m = jnp.ones_like(r2)
+        for v, n in ((x, lx), (y, ly), (z, lz)):
+            for _ in range(n):
+                m = m * v
+        return m
 
-        def mono(lx, ly, lz):
-            m = jnp.ones_like(r2)
-            for v, n in ((x, lx), (y, ly), (z, lz)):
-                for _ in range(n):
-                    m = m * v
-            return m
+    aos = [rad * mono(*c) for c in comps]
+    ao = jnp.stack(aos, axis=-1).reshape(G, S * nf)
+    if deriv == 0:
+        return (ao,)
 
-        aos = [rad * mono(*c) for c in comps]
-        ao = jnp.stack(aos, axis=-1).reshape(G, S * nf)
-        if deriv == 0:
-            return (ao,)
-
-        drad = jnp.sum(-2.0 * exps[None] * coefs[None] * ex, axis=-1)  # (G,S)
-        outs = [ao]
-        for d, v in enumerate((x, y, z)):
-            grads = []
-            for lx, ly, lz in comps:
-                m = mono(lx, ly, lz)
-                g = drad * v * m
-                n = (lx, ly, lz)[d]
-                if n > 0:
-                    lower = [lx, ly, lz]
-                    lower[d] -= 1
-                    g = g + rad * n * mono(*lower)
-                grads.append(g)
-            outs.append(jnp.stack(grads, axis=-1).reshape(G, S * nf))
-        return tuple(outs)
-
-    return jax.jit(fn)
+    drad = jnp.sum(-2.0 * exps[None] * coefs[None] * ex, axis=-1)  # (G,S)
+    outs = [ao]
+    for d, v in enumerate((x, y, z)):
+        grads = []
+        for lx, ly, lz in comps:
+            m = mono(lx, ly, lz)
+            g = drad * v * m
+            n = (lx, ly, lz)[d]
+            if n > 0:
+                lower = [lx, ly, lz]
+                lower[d] -= 1
+                g = g + rad * n * mono(*lower)
+            grads.append(g)
+        outs.append(jnp.stack(grads, axis=-1).reshape(G, S * nf))
+    return tuple(outs)
 
 
 class NumInt:
@@ -125,81 +126,108 @@ class NumInt:
             for c in cols:
                 perm.extend(range(int(c), int(c) + nf))
         self.col_perm = np.argsort(np.array(perm, np.int64)).astype(np.int32)
-
-    # ---------------------------------------------------------------- ao
-    def eval_ao_block(self, grid_block, deriv: int = 0):
-        """AO (and gradient) values for one grid block, f32 (G, nao)."""
-        G = grid_block.shape[0]
-        outs = None
-        for l, coords, exps, coefs, cols in self.gdata:
-            fn = _ao_block_fn(l, len(cols), exps.shape[1], G, deriv)
-            res = fn(
-                jnp.asarray(grid_block, jnp.float32),
+        # device constants materialized EAGERLY (creating them lazily
+        # inside a scan trace would leak tracers)
+        self._gdata_dev = [
+            (
+                l,
                 jnp.asarray(coords, jnp.float32),
                 jnp.asarray(exps, jnp.float32),
                 jnp.asarray(coefs, jnp.float32),
             )
+            for l, coords, exps, coefs, _ in self.gdata
+        ]
+        self._perm_dev = jnp.asarray(self.col_perm)
+        self._fns: dict = {}
+
+    def _dev(self):
+        return self._gdata_dev
+
+    def _ao_full(self, grid, deriv):
+        """Traced: AO slab(s) (G, nao) for one grid block, all groups."""
+        outs = None
+        for (l, coords, exps, coefs) in self._dev():
+            res = _ao_group(l, grid, coords, exps, coefs, deriv)
             outs = res if outs is None else tuple(
                 jnp.concatenate([a, b], axis=1) for a, b in zip(outs, res)
             )
-        perm = jnp.asarray(self.col_perm)
-        return tuple(o[:, perm] for o in outs)
+        return tuple(o[:, self._perm_dev] for o in outs)
 
+    # ---------------------------------------------------------------- ao
+    def eval_ao_block(self, grid_block, deriv: int = 0):
+        """AO (and gradient) values for one grid block, f32 (G, nao)."""
+        key = ("ao", grid_block.shape[0], deriv)
+        if key not in self._fns:
+            self._fns[key] = jax.jit(
+                lambda g: self._ao_full(g, deriv)
+            )
+        return self._fns[key](jnp.asarray(grid_block, jnp.float32))
 
-@lru_cache(maxsize=None)
-def _rho_block_fn(G: int, nao: int, family: str):
-    """family: 'lda' (1 row), 'gga' (4 rows), 'mgga' (5 rows: +tau).
+    # --------------------------------------------------------------- rho
+    def _rho_scan(self, nblk, family):
+        key = ("rho", nblk, family)
+        if key in self._fns:
+            return self._fns[key]
+        deriv = 0 if family == "lda" else 1
 
-    Row layout follows the reference's eval_rho ndim convention
-    (/root/reference/jqc/backend/dft/eval_rho.cu: LDA 1, GGA 4, mGGA 5,
-    no laplacian)."""
+        def fn(blocks, dm):
+            def body(_, blk):
+                aos = self._ao_full(blk, deriv)
+                ao = aos[0]
+                t = jnp.dot(ao, dm, precision=_HIGH)
+                rows = [jnp.sum(t * ao, axis=1)]
+                if family != "lda":
+                    rows += [
+                        2.0 * jnp.sum(t * aos[1 + d], axis=1) for d in range(3)
+                    ]
+                if family == "mgga":
+                    tau = jnp.zeros_like(rows[0])
+                    for d in range(3):
+                        td = jnp.dot(aos[1 + d], dm, precision=_HIGH)
+                        tau = tau + jnp.sum(td * aos[1 + d], axis=1)
+                    rows.append(0.5 * tau)
+                return None, jnp.stack(rows)
 
-    def fn(ao, ao1, dm):
-        t = jnp.dot(ao, dm, precision=_HIGH)  # (G, nao)
-        rho0 = jnp.sum(t * ao, axis=1)
-        if family == "lda":
-            return rho0[None, :]
-        # symmetric dm: grad rho_d = 2 * sum (ao @ dm) * d_ao
-        rows = [rho0] + [2.0 * jnp.sum(t * ao1[d], axis=1) for d in range(3)]
-        if family == "mgga":
-            # tau = 1/2 sum_d (d_ao @ dm) . d_ao
-            tau = jnp.zeros_like(rho0)
-            for d in range(3):
-                td = jnp.dot(ao1[d], dm, precision=_HIGH)
-                tau = tau + jnp.sum(td * ao1[d], axis=1)
-            rows.append(0.5 * tau)
-        return jnp.stack(rows)
+            _, out = jax.lax.scan(body, None, blocks)
+            return out  # (nblk, rows, G)
 
-    return jax.jit(fn)
+        self._fns[key] = jax.jit(fn)
+        return self._fns[key]
 
+    # --------------------------------------------------------------- vxc
+    def _vxc_scan(self, nblk, family):
+        key = ("vxc", nblk, family)
+        if key in self._fns:
+            return self._fns[key]
+        deriv = 0 if family == "lda" else 1
+        nao = self.nao
 
-@lru_cache(maxsize=None)
-def _vxc_block_fn(G: int, nao: int, family: str):
-    def fn(ao, ao1, wv):
-        # wv rows: [w*vrho] (+ GGA: [2*w*vsigma*rho1_d]) (+ mGGA: [w*vtau])
-        mid = ao * (0.5 * wv[0])[:, None]
-        if family != "lda":
-            for d in range(3):
-                mid = mid + ao1[d] * wv[1 + d][:, None]
-        half = jnp.dot(ao.T, mid, precision=_HIGH)
-        if family == "mgga":
-            # V_tau[i,j] = 1/2 sum_d w*vtau * dao_i dao_j; the 0.25 here
-            # doubles to 0.5 through the final half + half.T
-            for d in range(3):
-                half = half + jnp.dot(
-                    ao1[d].T, ao1[d] * (0.25 * wv[4])[:, None], precision=_HIGH
-                )
-        return half + half.T
+        def fn(blocks, wv_blocks):
+            def body(acc, x):
+                blk, wv = x
+                aos = self._ao_full(blk, deriv)
+                ao = aos[0]
+                mid = ao * (0.5 * wv[0])[:, None]
+                if family != "lda":
+                    for d in range(3):
+                        mid = mid + aos[1 + d] * wv[1 + d][:, None]
+                half = jnp.dot(ao.T, mid, precision=_HIGH)
+                if family == "mgga":
+                    for d in range(3):
+                        half = half + jnp.dot(
+                            aos[1 + d].T,
+                            aos[1 + d] * (0.25 * wv[4])[:, None],
+                            precision=_HIGH,
+                        )
+                mat = half + half.T
+                return df.add(acc, df.from_f32(mat)), None
 
-    return jax.jit(fn)
+            acc0 = df.const(0.0, (nao, nao))
+            acc, _ = jax.lax.scan(body, acc0, (blocks, wv_blocks))
+            return acc
 
-
-@lru_cache(maxsize=None)
-def _exc_nelec_fn(G: int):
-    def fn(w, rho0, e):
-        return jnp.sum(w * e), jnp.sum(w * rho0)
-
-    return jax.jit(fn)
+        self._fns[key] = jax.jit(fn)
+        return self._fns[key]
 
 
 def _family_arg(family):
@@ -208,43 +236,42 @@ def _family_arg(family):
     return family
 
 
+def _blocked(coords, B):
+    """(N,3) -> (nblk, B, 3) with far-away zero-weight padding."""
+    N = len(coords)
+    npad = (-N) % B
+    if npad:
+        pad = np.full((npad, 3), 1e3)
+        coords = np.concatenate([coords, pad])
+    return coords.reshape(-1, B, 3), N
+
+
 def eval_rho_all(ni: NumInt, grids, dm_int, family):
     """rho rows on the full padded grid: numpy (1 | 4 | 5, N).
 
-    family: 'lda' | 'gga' | 'mgga' (rows: rho; +grad; +tau)."""
+    family: 'lda' | 'gga' | 'mgga' (rows: rho; +grad; +tau).  One jitted
+    scan over all grid blocks."""
     family = _family_arg(family)
-    dm32 = jnp.asarray(dm_int, jnp.float32)
-    N = len(grids.coords)
-    B = ni.block
-    rows = {"lda": 1, "gga": 4, "mgga": 5}[family]
-    out = np.zeros((rows, N))
-    fn = _rho_block_fn(B, ni.nao, family)
-    deriv = 0 if family == "lda" else 1
-    for s in range(0, N, B):
-        blk = grids.coords[s : s + B]
-        aos = ni.eval_ao_block(blk, deriv=deriv)
-        ao = aos[0]
-        ao1 = jnp.stack(aos[1:]) if deriv else jnp.zeros((3, B, ni.nao), jnp.float32)
-        out[:, s : s + B] = np.asarray(fn(ao, ao1, dm32), np.float64)
-    return out
+    blocks, N = _blocked(grids.coords, ni.block)
+    fn = ni._rho_scan(len(blocks), family)
+    out = fn(jnp.asarray(blocks, jnp.float32), jnp.asarray(dm_int, jnp.float32))
+    rows = out.shape[1]
+    out = np.asarray(out, np.float64).transpose(1, 0, 2).reshape(rows, -1)
+    return out[:, :N]
 
 
 def eval_vxc_mat(ni: NumInt, grids, wv, family):
     """V_xc matrix from potential rows wv (numpy (1 | 4 | 5, N))."""
     family = _family_arg(family)
-    N = len(grids.coords)
     B = ni.block
-    fn = _vxc_block_fn(B, ni.nao, family)
-    deriv = 0 if family == "lda" else 1
-    acc = df.const(0.0, (ni.nao, ni.nao))
-    for s in range(0, N, B):
-        blk = grids.coords[s : s + B]
-        aos = ni.eval_ao_block(blk, deriv=deriv)
-        ao = aos[0]
-        ao1 = jnp.stack(aos[1:]) if deriv else jnp.zeros((3, B, ni.nao), jnp.float32)
-        w32 = jnp.asarray(wv[:, s : s + B], jnp.float32)
-        blkmat = fn(ao, ao1, w32)
-        acc = df.add(acc, df.from_f32(blkmat))
+    blocks, N = _blocked(grids.coords, B)
+    nblk = len(blocks)
+    rows = wv.shape[0]
+    wvp = np.zeros((rows, nblk * B))
+    wvp[:, :N] = wv[:, :N]
+    wv_blocks = wvp.reshape(rows, nblk, B).transpose(1, 0, 2)
+    fn = ni._vxc_scan(nblk, family)
+    acc = fn(jnp.asarray(blocks, jnp.float32), jnp.asarray(wv_blocks, jnp.float32))
     return df.to_f64(acc)
 
 

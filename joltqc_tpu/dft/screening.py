@@ -1,0 +1,325 @@
+"""AO-value screening for grid integration (sparse numint).
+
+Reference counterpart: ``estimate_log_aovalue``
+(/root/reference/jqc/backend/dft/estimate_log_aovalue.cu) + the per-block
+``nz_i/nz_j`` significant-shell lists consumed by eval_rho/eval_vxc.  The
+TPU cannot use ragged per-block lists inside one kernel, so the redesign
+buckets grid blocks by their significant-AO width:
+
+ - per (grid block, shell): an upper bound on log|AO| from the block's
+   bounding box (log cmax + l*log rmax - e_min * dist^2) -- pure host
+   numpy, O(nblocks * nshell), computed ONCE per geometry;
+ - blocks keep only significant shells; blocks are bucketed by the
+   padded AO width W (power of two), one compiled scan per bucket;
+ - inside the scan, shell data is GATHERED from per-l-group tables by
+   block-local index lists (pad rows have zero coefficients, so padded
+   columns evaluate to exactly 0), the density sub-matrix is gathered as
+   dm[cols][:, cols], and V_xc sub-blocks scatter back through int32
+   fixed-point limbs (ops/accum.py) -- deterministic and exact, the
+   TPU answer to the reference's f64 atomicAdd.
+
+For small systems the dense path (dft/numint.py) wins; the crossover is
+roughly when the significant fraction drops below ~1/2, which on box-
+sorted grids happens quickly beyond ~20 atoms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import df64 as df
+from ..ops.harmonics import cart_components
+from .numint import NumInt, _ao_group, _family_arg
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def _next_pow2(n):
+    return 1 << int(np.ceil(np.log2(max(n, 1))))
+
+
+class GridScreening:
+    """Per-block significant-shell structure over a fixed grid."""
+
+    def __init__(self, ni: NumInt, grids, thresh: float = 1e-12):
+        self.ni = ni
+        B = ni.block
+        coords = grids.coords
+        N = len(coords)
+        npad = (-N) % B
+        if npad:
+            coords = np.concatenate([coords, np.full((npad, 3), 1e3)])
+        blocks = coords.reshape(-1, B, 3)
+        self.blocks = blocks
+        self.npts = N
+        nblk = len(blocks)
+        logt = np.log(thresh)
+
+        # block bounding boxes (box-sorted grids -> tight)
+        lo = blocks.min(axis=1)  # (nblk, 3)
+        hi = blocks.max(axis=1)
+        diam = np.linalg.norm(hi - lo, axis=1)  # (nblk,)
+
+        # per group: significant shells per block
+        self.group_sig = []  # [(l, [idx arrays per block])]
+        ngroups = len(ni.gdata)
+        sig_per_block = [[] for _ in range(nblk)]
+        width = np.zeros(nblk, np.int64)
+        for gi, (l, g_coords, g_exps, g_coefs, cols) in enumerate(ni.gdata):
+            nf = len(cart_components(l))
+            # distance from each shell center to each block AABB
+            c = g_coords[None, :, :]  # (1, S, 3)
+            d = np.maximum(lo[:, None, :] - c, 0.0) + np.maximum(
+                c - hi[:, None, :], 0.0
+            )
+            dist = np.linalg.norm(d, axis=2)  # (nblk, S)
+            rmax = dist + diam[:, None]
+            emin = np.where(g_coefs != 0, g_exps, np.inf).min(axis=1)  # (S,)
+            cmax = np.abs(g_coefs).max(axis=1)
+            bound = (
+                np.log(np.maximum(cmax, 1e-300))[None, :]
+                + l * np.log(np.maximum(rmax, 1.0))
+                - emin[None, :] * dist**2
+            )
+            keep = bound > logt  # (nblk, S)
+            per_block = [np.where(keep[b])[0].astype(np.int32) for b in range(nblk)]
+            self.group_sig.append((gi, l, nf, per_block))
+            for b in range(nblk):
+                sig_per_block[b].append(per_block[b])
+                width[b] += len(per_block[b]) * nf
+
+        # bucket blocks by padded total width
+        self.buckets = {}
+        for b in range(nblk):
+            W = _next_pow2(max(int(width[b]), 8))
+            self.buckets.setdefault(W, []).append(b)
+
+        # pack per-bucket gather data.  The AO slab produced by _ao_sub is
+        # laid out in GROUP SEGMENTS of smax*nf columns each (smax = the
+        # bucket-wide max significant count of that group, min 1); the
+        # cols array must mirror exactly that layout, padding unused
+        # slots with nao (the dropped scratch column).
+        self.packed = []
+        nao = ni.nao
+        for Wkey, blks in sorted(self.buckets.items()):
+            nb = len(blks)
+            gidx = []
+            gmax = []
+            for (gi, l, nf, per_block) in self.group_sig:
+                smax = max(
+                    [len(per_block[b]) for b in blks] + [1]
+                )
+                gmax.append(smax)
+                arr = np.full((nb, smax), -1, np.int32)
+                for k, b in enumerate(blks):
+                    arr[k, : len(per_block[b])] = per_block[b]
+                gidx.append(arr)
+            W_used = sum(
+                smax * nf
+                for smax, (gi, l, nf, pb) in zip(gmax, self.group_sig)
+            )
+            cols = np.full((nb, W_used), nao, np.int32)
+            for k, b in enumerate(blks):
+                off = 0
+                for smax, (gi, l, nf, per_block) in zip(gmax, self.group_sig):
+                    g_cols = ni.gdata[gi][4]
+                    for t, s in enumerate(per_block[b]):
+                        c0 = int(g_cols[s])
+                        cols[k, off + t * nf : off + (t + 1) * nf] = np.arange(
+                            c0, c0 + nf
+                        )
+                    off += smax * nf
+            self.packed.append(
+                dict(
+                    W=W_used,
+                    blocks=np.array(blks, np.int64),
+                    gidx=gidx,
+                    gmax=gmax,
+                    cols=cols,
+                )
+            )
+
+    # ------------------------------------------------------------ stats
+    @property
+    def fill_fraction(self) -> float:
+        """Mean significant-AO fraction across blocks (screening gain)."""
+        tot = sum(
+            len(p["blocks"]) * p["W"] for p in self.packed
+        )
+        return tot / (len(self.blocks) * max(self.ni.nao, 1))
+
+
+def _gather_group_tables(ni: NumInt):
+    """Per-group device tables with one trailing zero-coef pad row."""
+    out = []
+    for (l, coords, exps, coefs, cols) in ni.gdata:
+        out.append(
+            (
+                l,
+                jnp.asarray(
+                    np.concatenate([coords, np.zeros((1, 3))]), jnp.float32
+                ),
+                jnp.asarray(
+                    np.concatenate([exps, np.ones((1, exps.shape[1]))]),
+                    jnp.float32,
+                ),
+                jnp.asarray(
+                    np.concatenate([coefs, np.zeros((1, coefs.shape[1]))]),
+                    jnp.float32,
+                ),
+            )
+        )
+    return out
+
+
+def _ao_sub(tables, gidx_blk, grid, deriv):
+    """Traced: gathered AO slab(s) (G, W) for one block."""
+    outs = None
+    for (l, coords, exps, coefs), idx in zip(tables, gidx_blk):
+        sel = jnp.where(idx < 0, coords.shape[0] - 1, idx)  # pad row
+        res = _ao_group(
+            l, grid, coords[sel], exps[sel], coefs[sel], deriv
+        )
+        outs = res if outs is None else tuple(
+            jnp.concatenate([a, b], axis=1) for a, b in zip(outs, res)
+        )
+    return outs
+
+
+def eval_rho_screened(ni: NumInt, scr: GridScreening, dm_int, family):
+    """rho rows (1|4|5, N) via the bucketed sparse path."""
+    family = _family_arg(family)
+    deriv = 0 if family == "lda" else 1
+    rows = {"lda": 1, "gga": 4, "mgga": 5}[family]
+    tables = _gather_group_tables(ni)
+    nao = ni.nao
+    dm_pad = np.zeros((nao + 1, nao + 1))
+    dm_pad[:nao, :nao] = dm_int
+    dm_dev = jnp.asarray(dm_pad, jnp.float32)
+    B = ni.block
+    out = np.zeros((rows, len(scr.blocks) * B))
+
+    for pack in scr.packed:
+        key = ("rho_s", pack["W"], len(pack["blocks"]), family)
+        if key not in ni._fns:
+
+            def fn(blocks, gidx, cols, dm, _tables=tables):
+                def body(_, x):
+                    blk = x[0]
+                    cols_b = x[1]
+                    gi = x[2:]
+                    aos = _ao_sub(_tables, gi, blk, deriv)
+                    ao = aos[0]
+                    dm_sub = dm[cols_b][:, cols_b]  # (W, W)
+                    t = jnp.dot(ao, dm_sub, precision=_HIGH)
+                    r = [jnp.sum(t * ao, axis=1)]
+                    if family != "lda":
+                        r += [
+                            2.0 * jnp.sum(t * aos[1 + d], axis=1)
+                            for d in range(3)
+                        ]
+                    if family == "mgga":
+                        tau = jnp.zeros_like(r[0])
+                        for d in range(3):
+                            td = jnp.dot(aos[1 + d], dm_sub, precision=_HIGH)
+                            tau = tau + jnp.sum(td * aos[1 + d], axis=1)
+                        r.append(0.5 * tau)
+                    return None, jnp.stack(r)
+
+                _, o = jax.lax.scan(body, None, (blocks, cols) + tuple(gidx))
+                return o
+
+            ni._fns[key] = jax.jit(fn)
+        blks = pack["blocks"]
+        got = ni._fns[key](
+            jnp.asarray(scr.blocks[blks], jnp.float32),
+            tuple(jnp.asarray(g) for g in pack["gidx"]),
+            jnp.asarray(pack["cols"]),
+            dm_dev,
+        )
+        got = np.asarray(got, np.float64)  # (nb, rows, B)
+        for k, b in enumerate(blks):
+            out[:, b * B : (b + 1) * B] = got[k]
+    return out[:, : scr.npts]
+
+
+def eval_vxc_screened(ni: NumInt, scr: GridScreening, wv, family):
+    """V_xc matrix via the bucketed sparse path (limb accumulation)."""
+    family = _family_arg(family)
+    deriv = 0 if family == "lda" else 1
+    tables = _gather_group_tables(ni)
+    nao = ni.nao
+    B = ni.block
+    size = nao * nao
+    rows = wv.shape[0]
+    wvp = np.zeros((rows, len(scr.blocks) * B))
+    wvp[:, : scr.npts] = wv[:, : scr.npts]
+
+    acc = df.const(0.0, (size,))
+    for pack in scr.packed:
+        W = pack["W"]
+        key = ("vxc_s", W, len(pack["blocks"]), family)
+        if key not in ni._fns:
+
+            def fn(blocks, gidx, cols, wvb, _tables=tables):
+                def body(carry, x):
+                    blk, cols_b, wv_b = x[0], x[1], x[2]
+                    gi = x[3:]
+                    aos = _ao_sub(_tables, gi, blk, deriv)
+                    ao = aos[0]
+                    mid = ao * (0.5 * wv_b[0])[:, None]
+                    if family != "lda":
+                        for d in range(3):
+                            mid = mid + aos[1 + d] * wv_b[1 + d][:, None]
+                    half = jnp.dot(ao.T, mid, precision=_HIGH)
+                    if family == "mgga":
+                        for d in range(3):
+                            half = half + jnp.dot(
+                                aos[1 + d].T,
+                                aos[1 + d] * (0.25 * wv_b[4])[:, None],
+                                precision=_HIGH,
+                            )
+                    mat = half + half.T  # (W, W) f32
+                    flat_idx = jnp.where(
+                        (cols_b[:, None] >= nao) | (cols_b[None, :] >= nao),
+                        size,
+                        cols_b[:, None] * nao + cols_b[None, :],
+                    ).reshape(-1)
+                    hi, lo = carry
+                    cur_hi = hi[flat_idx]
+                    cur_lo = lo[flat_idx]
+                    new = df.add(
+                        df.DF64(cur_hi, cur_lo), df.from_f32(mat.reshape(-1))
+                    )
+                    # W*W indices are unique within a block -> set is exact
+                    hi = hi.at[flat_idx].set(new.hi)
+                    lo = lo.at[flat_idx].set(new.lo)
+                    return (hi, lo), None
+
+                hi0 = jnp.zeros((size + 1,), jnp.float32)
+                lo0 = jnp.zeros((size + 1,), jnp.float32)
+                (hi, lo), _ = jax.lax.scan(
+                    body, (hi0, lo0), (blocks, cols, wvb) + tuple(gidx)
+                )
+                return hi[:size], lo[:size]
+
+            ni._fns[key] = jax.jit(fn)
+        blks = pack["blocks"]
+        wv_blocks = (
+            wvp.reshape(rows, len(scr.blocks), B)
+            .transpose(1, 0, 2)[blks]
+        )
+        hi, lo = ni._fns[key](
+            jnp.asarray(scr.blocks[blks], jnp.float32),
+            tuple(jnp.asarray(g) for g in pack["gidx"]),
+            jnp.asarray(pack["cols"]),
+            jnp.asarray(wv_blocks, jnp.float32),
+        )
+        acc = df.add(acc, df.DF64(hi, lo))
+    return df.to_f64(acc).reshape(nao, nao)
+
+
+__all__ = ["GridScreening", "eval_rho_screened", "eval_vxc_screened"]

@@ -648,6 +648,51 @@ def _shift_maps(l: int):
     return plus, minus, mcoef
 
 
+@lru_cache(maxsize=None)
+def _shift2_maps(l: int):
+    """Second-derivative composition maps: d^2/dA_d dA_e via two shifts.
+
+    D_e(D_d phi_c) = 4a^2 phi_{c+d+e}
+                   - 2a (c_e + delta_de) phi_{c+d-e}
+                   - 2a c_d phi_{c-d+e}
+                   + c_d (c_e - delta_de) phi_{c-d-e}
+    (terms with a negative component are absent).  Returns, for each
+    (d, e): a list over fi of [(level, idx, coef)] where level indexes
+    the kernel evaluation family: 2 -> l+2 with 4a^2-scaled coefs,
+    1 -> l with 2a-scaled coefs, 0 -> l-2 with plain coefs."""
+    comps = cart_components(l)
+    # level mapping: kernel family 2 -> l+2, 1 -> l, 0 -> l-2
+    pos2 = {c: i for i, c in enumerate(cart_components(l + 2))}
+    pos1 = {c: i for i, c in enumerate(cart_components(l))}
+    pos0 = (
+        {c: i for i, c in enumerate(cart_components(l - 2))} if l >= 2 else {}
+    )
+    out = {}
+    for d in range(3):
+        for e in range(3):
+            ed = np.eye(3, dtype=int)[d]
+            ee = np.eye(3, dtype=int)[e]
+            rows = []
+            for fi, c in enumerate(comps):
+                c = np.array(c, int)
+                terms = []
+                terms.append((2, pos2[tuple(c + ed + ee)], 1.0))
+                t = c + ed - ee
+                if t.min() >= 0:
+                    terms.append((1, pos1[tuple(t)], -(c[e] + (1.0 if d == e else 0.0))))
+                t = c - ed + ee
+                if t.min() >= 0 and c[d] > 0:
+                    terms.append((1, pos1[tuple(t)], -float(c[d])))
+                t = c - ed - ee
+                if t.min() >= 0 and c[d] > 0:
+                    coef = c[d] * (c[e] - (1.0 if d == e else 0.0))
+                    if coef != 0.0:
+                        terms.append((0, pos0[tuple(t)], float(coef)))
+                rows.append(terms)
+            out[(d, e)] = rows
+    return out
+
+
 # =============================================================== engine
 class ECPEngine:
     """Batched TPU evaluation of the full ECP matrix over a BasisLayout.
@@ -735,10 +780,14 @@ class ECPEngine:
             n1h[:, k, int(n)] = 1.0
         ca = c1.coefs[si]
         cb = c2.coefs[sj]
-        if scale_a:
+        if scale_a == 1:
             ca = 2.0 * c1.exps[si] * ca
-        if scale_b:
+        elif scale_a == 2:
+            ca = 4.0 * c1.exps[si] ** 2 * ca
+        if scale_b == 1:
             cb = 2.0 * c2.exps[sj] * cb
+        elif scale_b == 2:
+            cb = 4.0 * c2.exps[sj] ** 2 * cb
         geom = dict(
             coord_a=df.from_f64(c1.coords[si]),
             coord_b=df.from_f64(c2.coords[sj]),
@@ -781,6 +830,128 @@ class ECPEngine:
                 1, 0, 2, 3
             )
         return out
+
+    def _deriv2_aa(self, c1, c2, cen, chunk, kch):
+        """d^2/dA_d dA_e blocks (3, 3, B, nfa, nfb) -- 'ipipv'."""
+        l, la, lb = cen[1], c1.l, c2.l
+        Vs = {}
+        geom2, _, _ = self._geom(c1, c2, cen, chunk, kch, scale_a=2)
+        Vs[2] = self._run_kernel(geom2, la + 2, c1.nprim, lb, c2.nprim, l, kch)
+        geom1, _, _ = self._geom(c1, c2, cen, chunk, kch, scale_a=1)
+        Vs[1] = self._run_kernel(geom1, la, c1.nprim, lb, c2.nprim, l, kch)
+        if la >= 2:
+            geom0, _, _ = self._geom(c1, c2, cen, chunk, kch)
+            Vs[0] = self._run_kernel(
+                geom0, la - 2, c1.nprim, lb, c2.nprim, l, kch
+            )
+        maps = _shift2_maps(la)
+        nfa = len(cart_components(la))
+        B, nfb = Vs[2].shape[0], Vs[2].shape[2]
+        out = np.zeros((3, 3, B, nfa, nfb))
+        for (d, e), rows in maps.items():
+            for fi, terms in enumerate(rows):
+                for (lv, idx, coef) in terms:
+                    out[d, e, :, fi, :] += coef * Vs[lv][:, idx, :]
+        return out
+
+    def _deriv_ab(self, c1, c2, cen, chunk, kch):
+        """d^2/dA_d dB_e blocks (3, 3, B, nfa, nfb) -- 'ipvip'."""
+        l, la, lb = cen[1], c1.l, c2.l
+        plus_a, minus_a, mca = _shift_maps(la)
+        plus_b, minus_b, mcb = _shift_maps(lb)
+        V = {}
+        for sa, dla in ((1, 1), (0, -1)):
+            if la + dla < 0 and dla < 0:
+                continue
+            if dla < 0 and la == 0:
+                continue
+            for sb, dlb in ((1, 1), (0, -1)):
+                if dlb < 0 and lb == 0:
+                    continue
+                geom, _, _ = self._geom(
+                    c1, c2, cen, chunk, kch, scale_a=sa, scale_b=sb
+                )
+                V[(dla, dlb)] = self._run_kernel(
+                    geom, la + dla, c1.nprim, lb + dlb, c2.nprim, l, kch
+                )
+        nfa = len(cart_components(la))
+        nfb = len(cart_components(lb))
+        B = V[(1, 1)].shape[0]
+        out = np.zeros((3, 3, B, nfa, nfb))
+        for d in range(3):
+            for e in range(3):
+                blk = V[(1, 1)][:, plus_a[d], :][:, :, plus_b[e]]
+                if lb > 0:
+                    blk = blk - mcb[e][None, None, :] * V[(1, -1)][
+                        :, plus_a[d], :
+                    ][:, :, minus_b[e]]
+                if la > 0:
+                    blk = blk - mca[d][None, :, None] * V[(-1, 1)][
+                        :, minus_a[d], :
+                    ][:, :, plus_b[e]]
+                    if lb > 0:
+                        blk = blk + (
+                            mca[d][None, :, None] * mcb[e][None, None, :]
+                        ) * V[(-1, -1)][:, minus_a[d], :][:, :, minus_b[e]]
+                out[d, e] = blk
+        return out
+
+    def build_ipip(self, kind: str = "ipipv") -> np.ndarray:
+        """Second-derivative ECP matrices per ECP atom: (necp, 9, nao, nao).
+
+        kind='ipipv': <d^2/dA_d dA_e phi_i | U_k | phi_j> (both on bra);
+        kind='ipvip': <d/dA_d phi_i | U_k | d/dB_e phi_j>.
+        Rows are flattened (d, e) -> 3*d + e.  Reference counterpart:
+        get_ecp_ipip (/root/reference/jqc/backend/ecp.py:1141)."""
+        lay = self.layout
+        nao = lay.nao_int
+        ecp_atoms = sorted({c[5] for c in self._centers})
+        slot = {ia: k for k, ia in enumerate(ecp_atoms)}
+        out = np.zeros((len(ecp_atoms), 9, nao, nao))
+        for ci, cj, icen, tasks in self._tasks():
+            c1, c2 = self.classes[ci], self.classes[cj]
+            cen = self._centers[icen]
+            kch = len(cen[3])
+            k = slot[cen[5]]
+            B = min(self.chunk, len(tasks))
+            for s in range(0, len(tasks), B):
+                chunk = tasks[s : s + B]
+                pad = B - len(chunk)
+                chunk = chunk + [chunk[-1]] * pad
+                si = np.array([t[0] for t in chunk], np.int32)
+                sj = np.array([t[1] for t in chunk], np.int32)
+                if kind == "ipipv":
+                    dd = self._deriv2_aa(c1, c2, cen, chunk, kch)
+                    swapped = [(int(b), int(a)) for a, b in chunk]
+                    # mirror (j, i) entry: <dd phi_j|U|phi_i> -- the
+                    # swapped evaluation already has rows = j-components
+                    dd_swap = self._deriv2_aa(c2, c1, cen, swapped, kch)
+                elif kind == "ipvip":
+                    dd = self._deriv_ab(c1, c2, cen, chunk, kch)
+                    # mirrored pair (j, i): <di phi_j | U | de phi_i>
+                    dd_swap = dd.transpose(1, 0, 2, 4, 3)
+                else:
+                    raise ValueError(kind)
+                n = len(chunk) - pad
+                nfa, nfb = dd.shape[3], dd.shape[4]
+                for t in range(n):
+                    a0, b0 = int(c1.ao[si[t]]), int(c2.ao[sj[t]])
+                    out[k, :, a0 : a0 + nfa, b0 : b0 + nfb] += dd[
+                        :, :, t
+                    ].reshape(9, nfa, nfb)
+                    if not (ci == cj and si[t] == sj[t]):
+                        out[k, :, b0 : b0 + nfb, a0 : a0 + nfa] += dd_swap[
+                            :, :, t
+                        ].reshape(9, nfb, nfa)
+        mol_list = []
+        for kk in range(len(ecp_atoms)):
+            mol_list.append(
+                np.stack([lay.mat_to_mol(out[kk, d]) for d in range(9)])
+            )
+        if not mol_list:
+            nmo = lay.mat_to_mol(np.zeros((nao, nao))).shape[0]
+            return np.zeros((0, 9, nmo, nmo))
+        return np.stack(mol_list)
 
     # ------------------------------------------------------------- matrix
     def build(self) -> np.ndarray:

@@ -74,6 +74,43 @@ class RHF:
         nocc = self.mol.nelectron // 2
         return 2.0 * c[:, :nocc] @ c[:, :nocc].T
 
+    # ------------------------------------------------------------ scanner
+    def reset(self, mol: Molecule | None = None):
+        """Point the driver at a new geometry, keeping settings.
+
+        Compiled class kernels are geometry-independent (they are keyed
+        on (angular, nprim, tier, nao)), so re-running after a geometry
+        change pays only the host-side task-plan rebuild -- the TPU
+        analogue of the reference's reset/apply re-wrap for optimizers
+        (/root/reference/jqc/pyscf/__init__.py:239-252)."""
+        if mol is not None:
+            self.mol = mol
+        self.layout = BasisLayout(self.mol)
+        self.jk = JKEngine(
+            self.layout,
+            cutoff_fp32=self.jk.cutoff_fp32,
+            cutoff_fp64=self.jk.cutoff_fp64,
+        )
+        if hasattr(self, "_ecp_mat"):
+            del self._ecp_mat
+        self.converged = False
+        return self
+
+    def as_scanner(self):
+        """Callable(mol) -> total energy; reuses the previous density as
+        the initial guess when the basis dimension is unchanged
+        (reference counterpart: SCF scanners, jqc/pyscf/__init__.py:63)."""
+
+        def scan(mol: Molecule) -> float:
+            nao_prev = self.mol.nao
+            dm0 = getattr(self, "dm", None)
+            self.reset(mol)
+            if dm0 is not None and mol.nao == nao_prev:
+                return self.kernel(dm0=dm0)
+            return self.kernel()
+
+        return scan
+
     def kernel(self, dm0=None) -> float:
         t0 = time.time()
         mol = self.mol

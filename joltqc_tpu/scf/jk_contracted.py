@@ -201,7 +201,18 @@ def _class_scan_fn(ls, nprims, tier, nao, with_j, with_k, omega=0.0):
     return jax.jit(fn, donate_argnums=(3, 4))
 
 
-def _chunk_size(ls, ntasks=None, target_elems=1 << 21):
+def _chunk_size(ls, ntasks=None, target_elems=1 << 21, nprims=None, tier=None):
+    """Task chunk size: per-device autotuned table first (the analogue of
+    the reference's optimal_scheme JSONs, jqc/backend/jk.py:38-53), then
+    an analytic heuristic."""
+    if nprims is not None and tier is not None:
+        from ..utils.autotune import tuned_chunk
+
+        b = tuned_chunk(ls, nprims, tier)
+        if b is not None:
+            if ntasks is not None:
+                b = min(b, 1 << int(np.ceil(np.log2(max(ntasks, 64)))))
+            return int(b)
     nfab = _nf(ls[0]) * _nf(ls[1])
     nfcd = _nf(ls[2]) * _nf(ls[3])
     b = target_elems // (nfab * nfcd)
@@ -309,7 +320,7 @@ class JKEngine:
                     n = int(sel.sum())
                     if n == 0:
                         continue
-                    B = _chunk_size(ls, n)
+                    B = _chunk_size(ls, n, nprims=nprims, tier=tier)
                     s1, s2, sw = t1[sel], t2[sel], w[sel]
                     npad = (-n) % B
                     # pad tasks point at each class's zero-coef pad shell

@@ -53,9 +53,26 @@ class RKS(RHF):
             self.nlc = nlc
         self.grids = grids if grids is not None else Grids(mol)
         self.ni = NumInt(self.layout)
+        # AO-value screening (reference: estimate_log_aovalue sparsity
+        # lists): None = auto (use the sparse path when it drops >40% of
+        # the AO work), False = always dense, float = threshold override
+        self.screen_thresh = 1e-12
+        self._scr = None
         self._ecoul = 0.0
         self._exc = 0.0
         self.scf_summary = {}
+
+    def _screening(self):
+        """Build (once) and return the grid screening, or None for dense."""
+        if self._scr is None:
+            if self.screen_thresh is False:
+                self._scr = False
+            else:
+                from ..dft.screening import GridScreening
+
+                scr = GridScreening(self.ni, self.grids, self.screen_thresh)
+                self._scr = scr if scr.fill_fraction < 0.6 else False
+        return self._scr or None
 
     def get_veff(self, dm):
         if self.grids.coords is None:
@@ -67,7 +84,13 @@ class RKS(RHF):
         fam = self.family
         need_grad = fam != "lda" or self.nlc is not None
         rho_fam = fam if fam != "lda" or self.nlc is None else "gga"
-        rho = eval_rho_all(self.ni, self.grids, dm_int, rho_fam)
+        scr = self._screening()
+        if scr is not None:
+            from ..dft.screening import eval_rho_screened
+
+            rho = eval_rho_screened(self.ni, scr, dm_int, rho_fam)
+        else:
+            rho = eval_rho_all(self.ni, self.grids, dm_int, rho_fam)
         sigma = (rho[1:4] ** 2).sum(axis=0) if need_grad else None
         tau = rho[4] if fam == "mgga" else None
         e, vr, vs, vt = eval_xc(
@@ -101,7 +124,12 @@ class RKS(RHF):
         else:
             wv = (w * vr)[None, :]
             vxc_fam = "lda"
-        vxc_int = eval_vxc_mat(self.ni, self.grids, wv, vxc_fam)
+        if scr is not None:
+            from ..dft.screening import eval_vxc_screened
+
+            vxc_int = eval_vxc_screened(self.ni, scr, wv, vxc_fam)
+        else:
+            vxc_int = eval_vxc_mat(self.ni, self.grids, wv, vxc_fam)
         vxc = lay.mat_to_mol(vxc_int)
 
         if self.hyb > 0 or self.omega > 0:
@@ -121,6 +149,13 @@ class RKS(RHF):
 
     def energy_elec(self, dm, h, veff):
         return float(np.einsum("ij,ij->", dm, h)) + self._ecoul + self._exc
+
+    def reset(self, mol=None):
+        super().reset(mol)
+        self.grids = Grids(self.mol)
+        self.ni = NumInt(self.layout)
+        self._scr = None
+        return self
 
 
 __all__ = ["RKS"]

@@ -118,6 +118,100 @@ def test_ecp_gradient_vs_finite_difference():
     assert np.abs(grad - fd).max() < 1e-7, (grad, fd)
 
 
+SP_BASIS = """BASIS "ao basis"
+H    S
+      1.3000000              0.8000000
+      0.4000000              0.4000000
+H    P
+      0.7500000              1.0000000
+He    S
+      1.1000000              0.9000000
+      0.3500000              0.3000000
+He    P
+      0.6500000              1.0000000
+END
+"""
+
+
+@pytest.mark.slow
+def test_ecp_ip_ipip_vs_finite_difference(tmp_path):
+    """First/second derivative matrices vs FD of the value engine.
+
+    Geometry: the ECP sits ONLY on atom 0 (H -- the He atoms have no ECP
+    entry); bra shells on atom 1, ket shells on atom 2, so the
+    (atom-1, atom-2) matrix block isolates pure bra / ket / mixed
+    derivatives.  s+p custom basis exercises the l>0 shift maps."""
+    bpath = tmp_path / "sp.dat"
+    bpath.write_text(SP_BASIS)
+    basis = str(bpath)
+    base = np.array([[0.0, 0.0, 0.0], [0.2, -0.4, 1.8], [-0.9, 0.6, -1.3]])
+    syms = ["H", "He", "He"]
+
+    def build(c):
+        atoms = "; ".join(
+            f"{s} {x} {y} {z}" for s, (x, y, z) in zip(syms, c)
+        )
+        return Molecule.from_atom_string(
+            atoms, basis=basis, ecp=H_ECP_TXT, unit="bohr"
+        )
+
+    mol = build(base)
+    lay = BasisLayout(mol)
+    eng = ECPEngine(lay)
+    ao_loc = mol.ao_loc
+    per_atom = {}
+    for ish, sh in enumerate(mol.shells):
+        per_atom.setdefault(sh.atom_idx, []).append(ish)
+    ao_slices = {
+        ia: (
+            int(ao_loc[per_atom[ia][0]]),
+            int(ao_loc[per_atom[ia][-1] + 1]),
+        )
+        for ia in range(3)
+    }
+
+    def V(c):
+        m = build(c)
+        return ECPEngine(BasisLayout(m)).build()
+
+    a_lo, a_hi = ao_slices[1]
+    b_lo, b_hi = ao_slices[2]
+    h = 2e-3
+
+    ip = eng.build_ip()[0]  # ECP atom 0: (3, nao, nao)
+    for d in range(2):  # x, y spot-check
+        cp, cm = base.copy(), base.copy()
+        cp[1, d] += h
+        cm[1, d] -= h
+        fd = (V(cp) - V(cm))[a_lo:a_hi, b_lo:b_hi] / (2 * h)
+        got = ip[d, a_lo:a_hi, b_lo:b_hi]
+        assert np.abs(got - fd).max() < 5e-6, (d, np.abs(got - fd).max())
+
+    # ipipv: both derivatives on the bra atom
+    ipip = eng.build_ipip("ipipv")[0]  # (9, nao, nao)
+    d, e = 0, 2
+    cpp, cpm, cmp_, cmm = (base.copy() for _ in range(4))
+    cpp[1, d] += h; cpp[1, e] += h
+    cpm[1, d] += h; cpm[1, e] -= h
+    cmp_[1, d] -= h; cmp_[1, e] += h
+    cmm[1, d] -= h; cmm[1, e] -= h
+    fd = (V(cpp) - V(cpm) - V(cmp_) + V(cmm))[a_lo:a_hi, b_lo:b_hi] / (4 * h * h)
+    got = ipip[3 * d + e, a_lo:a_hi, b_lo:b_hi]
+    assert np.abs(got - fd).max() < 5e-5, np.abs(got - fd).max()
+
+    # ipvip: mixed bra/ket derivative
+    ipvip = eng.build_ipip("ipvip")[0]
+    d, e = 1, 0
+    cpp, cpm, cmp_, cmm = (base.copy() for _ in range(4))
+    cpp[1, d] += h; cpp[2, e] += h
+    cpm[1, d] += h; cpm[2, e] -= h
+    cmp_[1, d] -= h; cmp_[2, e] += h
+    cmm[1, d] -= h; cmm[2, e] -= h
+    fd = (V(cpp) - V(cpm) - V(cmp_) + V(cmm))[a_lo:a_hi, b_lo:b_hi] / (4 * h * h)
+    got = ipvip[3 * d + e, a_lo:a_hi, b_lo:b_hi]
+    assert np.abs(got - fd).max() < 5e-5, np.abs(got - fd).max()
+
+
 @pytest.mark.slow
 def test_rhf_with_ecp_vs_dense_oracle():
     """Full RHF with the ECP in hcore vs a dense-f64 oracle SCF."""

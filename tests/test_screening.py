@@ -1,0 +1,58 @@
+"""Sparse (AO-screened) numint vs the dense path and the f64 oracle.
+
+Reference counterpart: estimate_log_aovalue + nz-list screening tests
+(/root/reference/jqc/pyscf/tests/test_rks.py)."""
+
+import numpy as np
+import pytest
+
+from joltqc_tpu.dft.grids import Grids
+from joltqc_tpu.dft.numint import NumInt, eval_rho_all, eval_vxc_mat
+from joltqc_tpu.dft.screening import (
+    GridScreening,
+    eval_rho_screened,
+    eval_vxc_screened,
+)
+from joltqc_tpu.mol import Molecule
+from joltqc_tpu.mol.layout import BasisLayout
+
+# two waters far apart -> real screening sparsity
+ATOMS = """O 0 0 0.1174; H -0.757 0 -0.4696; H 0.757 0 -0.4696;
+O 8 0 0.1174; H 7.243 0 -0.4696; H 8.757 0 -0.4696"""
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mol = Molecule.from_atom_string(ATOMS, basis="6-31g")
+    layout = BasisLayout(mol)
+    grids = Grids(mol, n_rad=30, n_theta=8, block=256).build()
+    ni = NumInt(layout, block=256)
+    rng = np.random.default_rng(9)
+    d = rng.standard_normal((layout.nao_int, layout.nao_int)) * 0.1
+    dm = d + d.T + np.eye(layout.nao_int)
+    return ni, grids, dm
+
+
+@pytest.mark.parametrize("family", ["lda", "gga", "mgga"])
+def test_screened_rho_matches_dense(setup, family):
+    ni, grids, dm = setup
+    scr = GridScreening(ni, grids, thresh=1e-13)
+    rho_s = eval_rho_screened(ni, scr, dm, family)
+    rho_d = eval_rho_all(ni, grids, dm, family)
+    assert scr.fill_fraction < 0.9  # screening actually drops shells
+    for r in range(rho_d.shape[0]):
+        scale = max(np.abs(rho_d[r]).max(), 1e-10)
+        assert np.abs(rho_s[r] - rho_d[r]).max() / scale < 1e-5, r
+
+
+@pytest.mark.parametrize("family", ["lda", "mgga"])
+def test_screened_vxc_matches_dense(setup, family):
+    ni, grids, dm = setup
+    scr = GridScreening(ni, grids, thresh=1e-13)
+    rows = {"lda": 1, "gga": 4, "mgga": 5}[family]
+    rng = np.random.default_rng(4)
+    wv = rng.standard_normal((rows, len(grids.coords))) * grids.weights
+    v_s = eval_vxc_screened(ni, scr, wv, family)
+    v_d = eval_vxc_mat(ni, grids, wv, family)
+    scale = np.abs(v_d).max()
+    assert np.abs(v_s - v_d).max() / scale < 2e-6
