@@ -143,60 +143,94 @@ def _cat_vals(parts):
     return jnp.concatenate(parts)
 
 
+def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
+                     tables, tasks, dm, vj, vk):
+    """Traced body of one class scan (shared by the per-class and fused
+    execution paths)."""
+    isdf = tier in ("df64", "fp64")
+    nfs = tuple(_nf(l) for l in ls)
+
+    ia, ib, ic, idd, w = tasks
+
+    def chunk(carry, t):
+        vj, vk = carry
+        ja, jb, jc, jd, wc = t
+        geom = {}
+        for name, tbl, idx in zip("abcd", tables, (ja, jb, jc, jd)):
+            coord, exps, coefs, _ = tbl
+            geom[f"coord_{name}"] = _take(coord, idx)
+            geom[f"exps_{name}"] = _take(exps, idx)
+            geom[f"coefs_{name}"] = _take(coefs, idx)
+        G = contracted_eri_batch(tier, ls, nprims, geom, omega)
+        # fold symmetry weight (exact: powers of two)
+        if isdf:
+            G = df.DF64(G.hi * wc[:, None, None], G.lo * wc[:, None, None])
+        else:
+            G = G * wc[:, None, None]
+        aos = tuple(
+            jnp.take(tbl[3], idx)
+            for tbl, idx in zip(tables, (ja, jb, jc, jd))
+        )
+        jvals, jidx, kvals, kidx = _contract_blocks(
+            tier, G, aos, nfs, dm, nao, with_j, with_k
+        )
+        if with_j:
+            limbs, sexp = scatter_limbs(
+                _cat_vals(list(jvals)), jnp.concatenate(list(jidx)), nao * nao
+            )
+            vj = df.add(vj, limbs_to_df64(limbs, sexp))
+        if with_k:
+            limbs, sexp = scatter_limbs(
+                _cat_vals(list(kvals)), jnp.concatenate(list(kidx)), nao * nao
+            )
+            vk = df.add(vk, limbs_to_df64(limbs, sexp))
+        return (vj, vk), None
+
+    (vj, vk), _ = jax.lax.scan(chunk, (vj, vk), (ia, ib, ic, idd, w))
+    return vj, vk
+
+
+@lru_cache(maxsize=None)
+def _fused_scan_fn(sig, nao, with_j, with_k, omega=0.0):
+    """One jitted launch executing MANY class scans.
+
+    The per-class profile run showed each separate launch costs ~4 ms of
+    host dispatch (+~25 ms round-trip latency through the PJRT tunnel)
+    REGARDLESS of task count -- with ~100 classes that overhead, not
+    compute, dominated the whole Fock build.  Fusing the plan into a few
+    launches removes it (reference analogue: the per-quartet-class
+    Python loop with one sync per chunk is the same bottleneck the
+    reference fights, jqc/pyscf/jk.py:209-280).
+
+    sig: tuple of (ls, nprims, tier) per entry."""
+
+    def fn(tables_list, tasks_list, dm_df, dm_f32, vj, vk):
+        for (ls, nprims, tier), tbls, tasks in zip(sig, tables_list, tasks_list):
+            dm = dm_df if tier in ("df64", "fp64") else dm_f32
+            vj, vk = _class_scan_body(
+                ls, nprims, tier, nao, with_j, with_k, omega,
+                tbls, tasks, dm, vj, vk,
+            )
+        return vj, vk
+
+    return jax.jit(fn, donate_argnums=(4, 5))
+
+
 @lru_cache(maxsize=None)
 def _class_scan_fn(ls, nprims, tier, nao, with_j, with_k, omega=0.0):
-    """Jitted Fock-contribution scan for one task class.
+    """Jitted Fock-contribution scan for ONE task class (profile path).
 
     Signature: fn(tables, tasks, dm, vj, vk) -> (vj, vk), where
       tables = ((coord, exps, coefs, ao) per center a..d)  [ar-native]
       tasks  = (i_a, i_b, i_c, i_d, w): (nchunk, B) int32 / f32
       dm     = (nao, nao) ar-native; vj/vk DF64 (nao*nao,) accumulators.
     """
-    isdf = tier in ("df64", "fp64")
-    nfs = tuple(_nf(l) for l in ls)
-    nfa, nfb, nfc, nfd = nfs
 
     def fn(tables, tasks, dm, vj, vk):
-        ia, ib, ic, idd, w = tasks
-
-        def chunk(carry, t):
-            vj, vk = carry
-            ja, jb, jc, jd, wc = t
-            geom = {}
-            for name, tbl, idx in zip(
-                "abcd", tables, (ja, jb, jc, jd)
-            ):
-                coord, exps, coefs, _ = tbl
-                geom[f"coord_{name}"] = _take(coord, idx)
-                geom[f"exps_{name}"] = _take(exps, idx)
-                geom[f"coefs_{name}"] = _take(coefs, idx)
-            G = contracted_eri_batch(tier, ls, nprims, geom, omega)
-            # fold symmetry weight (exact: powers of two)
-            if isdf:
-                G = df.DF64(G.hi * wc[:, None, None], G.lo * wc[:, None, None])
-            else:
-                G = G * wc[:, None, None]
-            aos = tuple(
-                jnp.take(tbl[3], idx)
-                for tbl, idx in zip(tables, (ja, jb, jc, jd))
-            )
-            jvals, jidx, kvals, kidx = _contract_blocks(
-                tier, G, aos, nfs, dm, nao, with_j, with_k
-            )
-            if with_j:
-                limbs, sexp = scatter_limbs(
-                    _cat_vals(list(jvals)), jnp.concatenate(list(jidx)), nao * nao
-                )
-                vj = df.add(vj, limbs_to_df64(limbs, sexp))
-            if with_k:
-                limbs, sexp = scatter_limbs(
-                    _cat_vals(list(kvals)), jnp.concatenate(list(kidx)), nao * nao
-                )
-                vk = df.add(vk, limbs_to_df64(limbs, sexp))
-            return (vj, vk), None
-
-        (vj, vk), _ = jax.lax.scan(chunk, (vj, vk), (ia, ib, ic, idd, w))
-        return vj, vk
+        return _class_scan_body(
+            ls, nprims, tier, nao, with_j, with_k, omega,
+            tables, tasks, dm, vj, vk,
+        )
 
     return jax.jit(fn, donate_argnums=(3, 4))
 
@@ -246,6 +280,12 @@ class JKEngine:
         # of the reference's per-quartet-class CUDA-event timing logs)
         self.profile = False
         self.class_time: dict = {}
+        # classes fused per compiled launch; None = one launch per class.
+        # Measured on the v5e tunnel at (H2O)4/6-31g: fused (24/launch)
+        # 0.47 s/iter vs per-class 0.43 s/iter -- async per-class dispatch
+        # already overlaps host and device, so fusing only pays when
+        # dispatch cost grows (very many tiny classes); keep it opt-in.
+        self.fuse_group = None
 
     # -------------------------------------------------------------- tables
     def _tables(self, tier):
@@ -367,23 +407,45 @@ class JKEngine:
 
         vj = df.const(0.0, (nao * nao,))
         vk = df.const(0.0, (nao * nao,))
-        for entry in self._plan:
-            t0 = _time.perf_counter()
-            tier = entry["tier"]
-            tables = self._tables(tier)
-            tbls = tuple(tables[k] for k in entry["cls_idx"])
-            fn = _class_scan_fn(
-                entry["ls"], entry["nprims"], tier, nao, with_j, with_k, omega
-            )
-            vj, vk = fn(
-                tbls, entry["tasks"], dm_df if tier == "df64" else dm_f32, vj, vk
-            )
-            if self.profile:
-                jax.block_until_ready(vj.hi if with_j else vk.hi)
-                key = (entry["ls"], entry["nprims"], tier)
-                self.class_time[key] = self.class_time.get(key, 0.0) + (
-                    _time.perf_counter() - t0
+        if self.profile or not self.fuse_group:
+            # per-class launches (async pipeline); profile=True adds a
+            # sync per class for accurate attribution
+            for entry in self._plan:
+                t0 = _time.perf_counter()
+                tier = entry["tier"]
+                tables = self._tables(tier)
+                tbls = tuple(tables[k] for k in entry["cls_idx"])
+                fn = _class_scan_fn(
+                    entry["ls"], entry["nprims"], tier, nao, with_j, with_k,
+                    omega,
                 )
+                vj, vk = fn(
+                    tbls, entry["tasks"],
+                    dm_df if tier == "df64" else dm_f32, vj, vk,
+                )
+                if self.profile:
+                    jax.block_until_ready(vj.hi if with_j else vk.hi)
+                    key = (entry["ls"], entry["nprims"], tier)
+                    self.class_time[key] = self.class_time.get(key, 0.0) + (
+                        _time.perf_counter() - t0
+                    )
+        else:
+            # fused launches: ~4 ms host dispatch + tunnel round-trip per
+            # launch dominate at small sizes, so run the whole plan in a
+            # few compiled programs
+            G = self.fuse_group
+            for g in range(0, len(self._plan), G):
+                group = self._plan[g : g + G]
+                sig = tuple(
+                    (e["ls"], e["nprims"], e["tier"]) for e in group
+                )
+                tables_list = tuple(
+                    tuple(self._tables(e["tier"])[k] for k in e["cls_idx"])
+                    for e in group
+                )
+                tasks_list = tuple(e["tasks"] for e in group)
+                fn = _fused_scan_fn(sig, nao, with_j, with_k, omega)
+                vj, vk = fn(tables_list, tasks_list, dm_df, dm_f32, vj, vk)
         vj64 = df.to_f64(vj).reshape(nao, nao) if with_j else None
         vk64 = df.to_f64(vk).reshape(nao, nao) if with_k else None
         return vj64, vk64
