@@ -29,6 +29,7 @@ class RHF:
         cutoff_fp32: float = 1e-13,
         cutoff_fp64: float = 1e-6,
         verbose: int = 0,
+        incremental: bool = False,
     ):
         if mol.nelectron % 2:
             raise ValueError("RHF needs an even electron count")
@@ -36,6 +37,12 @@ class RHF:
         self.conv_tol = conv_tol
         self.max_cycle = max_cycle
         self.verbose = verbose
+        # incremental direct SCF (opt-in): Fock builds run on dm - dm_prev
+        # (exact by linearity); converged-tail iterations screen far fewer
+        # tasks, at the cost of compiling a second set of plan shapes --
+        # worth it for production SCF on real hardware, off by default to
+        # keep CI compile time down
+        self.incremental = incremental
         self.layout = BasisLayout(mol)
         self.jk = JKEngine(self.layout, cutoff_fp32=cutoff_fp32, cutoff_fp64=cutoff_fp64)
         self.e_tot = None
@@ -59,7 +66,10 @@ class RHF:
         return intor_np.overlap(self.mol)
 
     def get_veff(self, dm):
-        vj, vk = self.jk.get_jk(dm)
+        if self.incremental:
+            vj, vk = self.jk.get_jk_incr(dm)
+        else:
+            vj, vk = self.jk.get_jk(dm)
         return vj - 0.5 * vk
 
     def energy_elec(self, dm, h, veff):
@@ -113,6 +123,7 @@ class RHF:
 
     def kernel(self, dm0=None) -> float:
         t0 = time.time()
+        self.jk.reset_incremental()
         mol = self.mol
         s = self.get_ovlp()
         h = self.get_hcore()

@@ -362,7 +362,12 @@ class JKEngine:
                         continue
                     B = _chunk_size(ls, n, nprims=nprims, tier=tier)
                     s1, s2, sw = t1[sel], t2[sel], w[sel]
-                    npad = (-n) % B
+                    # pow2-bucket the chunk count so plans rebuilt at
+                    # different density bounds (incremental direct SCF)
+                    # reuse the same compiled shapes
+                    nchunk_req = -(-n // B)
+                    nchunk_pow2 = 1 << int(np.ceil(np.log2(max(nchunk_req, 1))))
+                    npad = nchunk_pow2 * B - n
                     # pad tasks point at each class's zero-coef pad shell
                     ia = np.concatenate([p1.i_loc[s1], np.full(npad, c[0].nshell, np.int32)])
                     ib = np.concatenate([p1.j_loc[s1], np.full(npad, c[1].nshell, np.int32)])
@@ -398,9 +403,18 @@ class JKEngine:
 
         nao = self.nao
         logdm = float(np.log(max(np.abs(dm_int).max(), 1e-30)))
-        if self._plan is None or logdm > self._plan_logdm:
-            self._plan_logdm = logdm + 0.7  # reuse margin: ~2x density growth
-            self._plan = self._build_plan(self._plan_logdm)
+        # plans are cached per coarse density-bound bucket (8 log units,
+        # ~3.5 decades): the incremental direct-SCF path feeds delta-dm
+        # with decaying norm, and rescreening at the smaller bound drops
+        # most tasks -- coarse buckets + pow2 chunk counts bound the
+        # number of distinct compiled shapes (typically <= 3 buckets per
+        # SCF: guess-scale, mid-convergence, tail)
+        if not hasattr(self, "_plans"):
+            self._plans = {}
+        bucket = int(np.floor(logdm / 8.0))
+        if bucket not in self._plans:
+            self._plans[bucket] = self._build_plan((bucket + 1) * 8.0 + 0.7)
+        self._plan = self._plans[bucket]
 
         dm_df = df.from_f64(dm_int)
         dm_f32 = jnp.asarray(dm_int, jnp.float32)
@@ -490,6 +504,33 @@ class JKEngine:
             _, pka = self._run_plan(dma_int, False, True, omega)
             out_k = out_k + lay.mat_to_mol(pka - pka.T)
         return out_j, out_k
+
+    # ----------------------------------------------------- incremental
+    def reset_incremental(self):
+        """Drop cached J/K state (call when starting a new SCF)."""
+        self._incr = {}
+
+    def get_jk_incr(self, dm_mol, with_j=True, with_k=True, omega=0.0):
+        """Incremental direct-SCF J/K: evaluate only on dm - dm_prev.
+
+        J and K are LINEAR in dm, so J(dm) = J(dm_prev) + J(ddm) exactly;
+        as SCF converges ||ddm|| decays, the density-weighted Schwarz
+        screen drops most tasks, and the pow2-bucketed plan shapes stay
+        compiled.  Reference counterpart: the incremental/direct-SCF ddm
+        path (jqc/pyscf/rks.py:180-262 and PySCF direct_scf)."""
+        if not hasattr(self, "_incr"):
+            self._incr = {}
+        key = (bool(with_j), bool(with_k), float(omega or 0.0))
+        st = self._incr.get(key)
+        dm = np.asarray(dm_mol, np.float64)
+        if st is None:
+            vj, vk = self.get_jk(dm, with_j, with_k, omega)
+        else:
+            dvj, dvk = self.get_jk(dm - st["dm"], with_j, with_k, omega)
+            vj = st["vj"] + dvj if with_j else None
+            vk = st["vk"] + dvk if with_k else None
+        self._incr[key] = dict(dm=dm.copy(), vj=vj, vk=vk)
+        return vj, vk
 
 
 @lru_cache(maxsize=None)

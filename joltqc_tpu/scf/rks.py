@@ -132,16 +132,17 @@ class RKS(RHF):
             vxc_int = eval_vxc_mat(self.ni, self.grids, wv, vxc_fam)
         vxc = lay.mat_to_mol(vxc_int)
 
+        jk_call = self.jk.get_jk_incr if self.incremental else self.jk.get_jk
         if self.hyb > 0 or self.omega > 0:
-            vj, vk = self.jk.get_jk(dm)
+            vj, vk = jk_call(dm)
             vk_eff = self.hyb * vk
             if self.omega > 0 and abs(self.alpha - self.hyb) > 1e-12:
-                _, vk_lr = self.jk.get_jk(dm, with_j=False, omega=self.omega)
+                _, vk_lr = jk_call(dm, with_j=False, omega=self.omega)
                 vk_eff = vk_eff + (self.alpha - self.hyb) * vk_lr
             veff = vxc + vj - 0.5 * vk_eff
             exc -= 0.25 * float(np.einsum("ij,ij->", dm, vk_eff))
         else:
-            vj, _ = self.jk.get_jk(dm, with_k=False)
+            vj, _ = jk_call(dm, with_k=False)
             veff = vxc + vj
         self._ecoul = 0.5 * float(np.einsum("ij,ij->", dm, vj))
         self._exc = exc

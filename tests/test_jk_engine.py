@@ -122,6 +122,18 @@ def test_rhf_h2o_sto3g():
     assert abs(e - (-74.9630631297)) < 1e-7, e
 
 
+def test_rhf_incremental_matches_direct():
+    """Incremental direct-SCF (delta-dm Fock builds, exact by linearity)
+    reproduces the standard path (reference: incremental/direct-SCF ddm,
+    jqc/pyscf/rks.py:290)."""
+    mol = Molecule.from_atom_string(H2O, basis="sto-3g")
+    e_ref = RHF(mol, conv_tol=1e-11).kernel()
+    mf = RHF(mol, conv_tol=1e-11, incremental=True)
+    e = mf.kernel()
+    assert mf.converged
+    assert abs(e - e_ref) < 1e-9, (e, e_ref)
+
+
 @pytest.mark.slow
 def test_rhf_h2o_631g():
     mol = Molecule.from_atom_string(H2O, basis="6-31g")
