@@ -392,7 +392,7 @@ class JKEngine:
         return plan
 
     # ---------------------------------------------------------------- jk
-    def _run_plan(self, dm_int, with_j, with_k, omega):
+    def _run_plan(self, dm_int, with_j, with_k, omega, bucketed=False):
         """Raw folded accumulators over the canonical-task plan.
 
         Returns (vj, vk) as f64 (nao, nao) partials P: the symmetric-dm
@@ -403,18 +403,22 @@ class JKEngine:
 
         nao = self.nao
         logdm = float(np.log(max(np.abs(dm_int).max(), 1e-30)))
-        # plans are cached per coarse density-bound bucket (8 log units,
-        # ~3.5 decades): the incremental direct-SCF path feeds delta-dm
-        # with decaying norm, and rescreening at the smaller bound drops
-        # most tasks -- coarse buckets + pow2 chunk counts bound the
-        # number of distinct compiled shapes (typically <= 3 buckets per
-        # SCF: guess-scale, mid-convergence, tail)
-        if not hasattr(self, "_plans"):
-            self._plans = {}
-        bucket = int(np.floor(logdm / 8.0))
-        if bucket not in self._plans:
-            self._plans[bucket] = self._build_plan((bucket + 1) * 8.0 + 0.7)
-        self._plan = self._plans[bucket]
+        if bucketed:
+            # incremental path: delta-dm norms decay over the SCF, and
+            # rescreening at each smaller bound drops most tasks.  Plans
+            # are cached per density-bound bucket (4 log units) with
+            # pow2 chunk counts, bounding the distinct compiled shapes.
+            if not hasattr(self, "_plans"):
+                self._plans = {}
+            bucket = int(np.floor(logdm / 4.0))
+            if bucket not in self._plans:
+                self._plans[bucket] = self._build_plan(
+                    (bucket + 1) * 4.0 + 0.7
+                )
+            self._plan = self._plans[bucket]
+        elif self._plan is None or logdm > self._plan_logdm:
+            self._plan_logdm = logdm + 0.7  # reuse margin: ~2x density growth
+            self._plan = self._build_plan(self._plan_logdm)
 
         dm_df = df.from_f64(dm_int)
         dm_f32 = jnp.asarray(dm_int, jnp.float32)
@@ -464,7 +468,8 @@ class JKEngine:
         vk64 = df.to_f64(vk).reshape(nao, nao) if with_k else None
         return vj64, vk64
 
-    def get_jk(self, dm_mol, with_j=True, with_k=True, omega=0.0, hermi=1):
+    def get_jk(self, dm_mol, with_j=True, with_k=True, omega=0.0, hermi=1,
+               bucketed=False):
         """J/K matrices for one dm (nao, nao) or a stack (n, nao, nao).
 
         omega > 0 uses the long-range erf(omega*r)/r kernel
@@ -482,7 +487,8 @@ class JKEngine:
         dm = np.asarray(dm_mol, np.float64)
         if dm.ndim == 3:  # multi-dm (reference: n_dm batching)
             outs = [
-                self.get_jk(d, with_j, with_k, omega, hermi) for d in dm
+                self.get_jk(d, with_j, with_k, omega, hermi, bucketed)
+                for d in dm
             ]
             vj = np.stack([o[0] for o in outs]) if with_j else None
             vk = np.stack([o[1] for o in outs]) if with_k else None
@@ -495,13 +501,13 @@ class JKEngine:
         )
         dms = dm if sym else 0.5 * (dm + dm.T)
         vj, vk = self._run_plan(
-            lay.dm_to_internal(dms), with_j, with_k, omega
+            lay.dm_to_internal(dms), with_j, with_k, omega, bucketed
         )
         out_j = lay.mat_to_mol(vj + vj.T) if with_j else None
         out_k = lay.mat_to_mol(vk + vk.T) if with_k else None
         if not sym and with_k:
             dma_int = lay.dm_to_internal(0.5 * (dm - dm.T))
-            _, pka = self._run_plan(dma_int, False, True, omega)
+            _, pka = self._run_plan(dma_int, False, True, omega, bucketed)
             out_k = out_k + lay.mat_to_mol(pka - pka.T)
         return out_j, out_k
 
@@ -524,9 +530,11 @@ class JKEngine:
         st = self._incr.get(key)
         dm = np.asarray(dm_mol, np.float64)
         if st is None:
-            vj, vk = self.get_jk(dm, with_j, with_k, omega)
+            vj, vk = self.get_jk(dm, with_j, with_k, omega, bucketed=True)
         else:
-            dvj, dvk = self.get_jk(dm - st["dm"], with_j, with_k, omega)
+            dvj, dvk = self.get_jk(
+                dm - st["dm"], with_j, with_k, omega, bucketed=True
+            )
             vj = st["vj"] + dvj if with_j else None
             vk = st["vk"] + dvk if with_k else None
         self._incr[key] = dict(dm=dm.copy(), vj=vj, vk=vk)
