@@ -58,14 +58,17 @@ def scatter_limbs(values, idx, size: int, nlimb: int = 5, x_abs_max=None):
     s = _pow2_exact(sexp)
     x = df.scale_pow2(values, s)
 
-    limbs = []
+    planes = []
     for _ in range(nlimb):
         limb = jnp.round(x.hi)
-        acc = jnp.zeros((size + 1,), jnp.int32).at[idx].add(limb.astype(jnp.int32))
-        limbs.append(acc[:size])
+        planes.append(limb.astype(jnp.int32))
         x = df.add_f32(x, -limb)  # exact: |x.hi - limb| <= 0.5
         x = df.scale_pow2(x, float(2**_LIMB_BITS))
-    return jnp.stack(limbs), sexp
+    # ONE row-payload scatter instead of nlimb separate scatters (the
+    # scatter op dominates the Fock accumulation cost on TPU)
+    payload = jnp.stack(planes, axis=-1)  # (N, nlimb) int32
+    acc = jnp.zeros((size + 1, nlimb), jnp.int32).at[idx].add(payload)
+    return acc[:size].T, sexp
 
 
 def limbs_to_df64(limbs, sexp) -> DF64:

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -59,17 +61,37 @@ def boys_df64(mmax: int, x: df.DF64, nseries: int | None = None):
     # t_0 = 1/(2m+1); t_{i+1} = t_i * 2x / (2m+2i+3); F = e^{-x} * sum t_i
     # 1/denom is done as a proper DF64 division: an f32-only reciprocal
     # would poison the whole product chain.
-    def body(i, carry):
-        t, s = carry
-        denom = jnp.float32(2 * mmax + 3) + 2.0 * i.astype(jnp.float32)
-        t = df.mul(t, two_x)
-        t = df.div(t, df.DF64(denom, jnp.zeros_like(denom)))
-        s = df.add(s, t)
-        return (t, s)
-
+    # On TPU the series is FULLY unrolled (python loop, no lax.fori_loop):
+    # on the v5e backend every while-loop iteration carries a large fixed
+    # cost (~0.1-1 ms), which dwarfs the series arithmetic; the unrolled
+    # chain fuses into the surrounding kernel instead.  Division by the
+    # constant denominator becomes multiplication by its DF64-rounded
+    # reciprocal (exact to 2^-48 relative -- beyond the tier target).
+    # On CPU (the unit-test platform) the ~100-step unrolled chain
+    # multiplies XLA compile time by ~50x across the many class kernels,
+    # so there the rolled fori_loop is kept -- runtime per iteration is
+    # tiny on CPU and compile time is the binding constraint.
     t0 = df.const(1.0 / (2 * mmax + 1), x.hi.shape)
-    _, series = jax.lax.fori_loop(0, nseries, body, (t0, t0))
-    f_mmax_small = df.mul(emx, series)
+    if jax.default_backend() == "cpu":
+        def body(i, carry):
+            t, s = carry
+            denom = jnp.float32(2 * mmax + 3) + 2.0 * i.astype(jnp.float32)
+            t = df.mul(t, two_x)
+            t = df.div(t, df.DF64(denom, jnp.zeros_like(denom)))
+            s = df.add(s, t)
+            return (t, s)
+
+        _, s = jax.lax.fori_loop(0, nseries, body, (t0, t0))
+    else:
+        t = s = t0
+        for i in range(nseries):
+            denom = 2 * mmax + 3 + 2 * i
+            rhi = np.float32(1.0 / denom)
+            rlo = np.float32(1.0 / denom - float(rhi))
+            t = df.mul(df.mul(t, two_x), df.DF64(
+                jnp.full_like(x.hi, rhi), jnp.full_like(x.hi, rlo)))
+            s = df.add(s, t)
+    f_mmax_small = df.mul(emx, s)
 
     # --- downward recursion for the series branch ---
     # 1/(2m-1) as a DF64-rounded constant (2^-48 relative) is cheaper than
@@ -97,24 +119,39 @@ def boys_df64(mmax: int, x: df.DF64, nseries: int | None = None):
 
 
 def boys_f32(mmax: int, x, nseries: int | None = None):
-    """Return stacked f32 array F[m, ...] for m=0..mmax (FP32 tier)."""
-    switch = _switch_point(mmax)
+    """Return stacked f32 array F[m, ...] for m=0..mmax (FP32 tier).
+
+    The large-x branch uses the EXACT closed form
+    F_0 = sqrt(pi/4x) erf(sqrt x) (erf is a cheap native op in f32), so
+    the switch point only needs upward-recursion stability (x >~ m),
+    not erf saturation -- this halves the series length vs the DF64
+    tier's switch, a large win since the ERI path is op-bound."""
+    switch = max(10.0, 2.0 * mmax + 3.0)
     if nseries is None:
-        nseries = int(2 * switch) + 40
+        # f32 target ~1e-7 relative: tail < 1e-8 at x = switch
+        nseries = int(2 * switch) + 30
     x = jnp.asarray(x, jnp.float32)
     xs = jnp.minimum(x, switch)
     emx = jnp.exp(-xs)
     two_x = 2.0 * xs
 
-    def body(i, carry):
-        t, s = carry
-        denom = jnp.float32(2 * mmax + 3) + 2.0 * i.astype(jnp.float32)
-        t = t * two_x / denom
-        return (t, s + t)
-
+    # unrolled on TPU, rolled on CPU (see boys_df64: TPU while-loop
+    # iterations are the dominant runtime cost; CPU pays in compile time)
     t0 = jnp.full_like(x, 1.0 / (2 * mmax + 1))
-    _, series = jax.lax.fori_loop(0, nseries, body, (t0, t0))
-    f_mmax = emx * series
+    if jax.default_backend() == "cpu":
+        def body(i, carry):
+            t, s = carry
+            denom = jnp.float32(2 * mmax + 3) + 2.0 * i.astype(jnp.float32)
+            t = t * two_x / denom
+            return (t, s + t)
+
+        _, s = jax.lax.fori_loop(0, nseries, body, (t0, t0))
+    else:
+        t = s = t0
+        for i in range(nseries):
+            t = t * two_x * np.float32(1.0 / (2 * mmax + 3 + 2 * i))
+            s = s + t
+    f_mmax = emx * s
 
     fs_small = [None] * (mmax + 1)
     fs_small[mmax] = f_mmax
@@ -123,7 +160,9 @@ def boys_f32(mmax: int, x, nseries: int | None = None):
 
     xl = jnp.maximum(x, switch)
     emx_l = jnp.exp(-xl)
-    f0_large = _SQRT_PI_OVER_2 / jnp.sqrt(xl)
+    f0_large = (
+        _SQRT_PI_OVER_2 / jnp.sqrt(xl) * jax.scipy.special.erf(jnp.sqrt(xl))
+    )
     inv_2x = 0.5 / xl
     fs_large = [None] * (mmax + 1)
     fs_large[0] = f0_large

@@ -360,6 +360,302 @@ def _transpose12(x):
     return x.transpose(0, 2, 1)
 
 
+# ================================================================
+# Scalarized ("register") variant of the MD pipeline.
+#
+# TPU profiling (round 2) showed the stacked variant runs ~50x below
+# VPU peak: the (T,3) / (T,NR) minor-dim tensors, shifts, concats and
+# minor-axis gathers fragment XLA fusion, so most elementwise ops pay a
+# full HBM round trip + fixed overhead on arrays whose last dimension
+# occupies 3/128 lanes.  This variant keeps EVERY intermediate as a
+# separate (T,)-shaped value (the TPU analogue of the reference's
+# fully-unrolled per-thread register code, jk/1q1t.cu:236-406): all ops
+# are lane-perfect and fuse into a handful of kernels; the only
+# structural ops left are three trace-time stacks feeding the two MXU
+# bmms of the assembly.  Indices are resolved at TRACE time (Python
+# dicts), so there are no gathers at all.
+# ================================================================
+
+
+def _comp3(ar, v, i):
+    """(T, 3) ar-native -> i-th component as (T,)."""
+    if hasattr(v, "hi"):
+        from .df64 import DF64
+
+        return DF64(v.hi[..., i], v.lo[..., i])
+    return v[..., i]
+
+
+def make_pair_data_s(ar, A, B, a, b, coef):
+    """Scalarized pair quantities: components are separate (T,) values."""
+    Ac = tuple(_comp3(ar, A, i) for i in range(3))
+    Bc = tuple(_comp3(ar, B, i) for i in range(3))
+    p = ar.add(a, b)
+    invp = ar.recip(p)
+    P = tuple(
+        ar.mul(ar.add(ar.mul(a, Ai), ar.mul(b, Bi)), invp)
+        for Ai, Bi in zip(Ac, Bc)
+    )
+    AB = tuple(ar.sub(Ai, Bi) for Ai, Bi in zip(Ac, Bc))
+    r2 = ar.add(ar.add(ar.mul(AB[0], AB[0]), ar.mul(AB[1], AB[1])),
+                ar.mul(AB[2], AB[2]))
+    epref = ar.exp(ar.neg(ar.mul(ar.mul(ar.mul(a, b), invp), r2)))
+    xpa = tuple(ar.sub(Pi, Ai) for Pi, Ai in zip(P, Ac))
+    xpb = tuple(ar.sub(Pi, Bi) for Pi, Bi in zip(P, Bc))
+    return dict(p=p, P=P, xpa=xpa, xpb=xpb, epref=epref, coef=coef)
+
+
+_ONE = object()  # sentinel: value is exactly 1 (skip the multiply)
+
+# scalar-assembly size cap: classes whose contraction term count exceeds
+# this use the stacked bmm assembly instead (high-l classes, where the
+# MXU matmul wins and the scalar graph would explode)
+_SCALAR_ASM_MAX = int(__import__("os").environ.get("JQC_SCALAR_ASM_MAX", "4096"))
+
+
+def e_scalar(ar, li, lj, inv2p, xpa_d, xpb_d, seed=_ONE):
+    """E coefficients for ONE dimension as a dict {(i,j,t): (T,) value}.
+
+    Identically-zero entries are absent; the ``_ONE`` sentinel marks an
+    exact 1 so multiplies by it are skipped.  ``seed`` (the 3D gaussian
+    prefactor) becomes E(0,0,0)."""
+    E = {(0, 0, 0): seed}
+
+    def step(src_i, src_j, dst_i, dst_j, xp):
+        for t in range(src_i + src_j + 2):
+            acc = None
+
+            def add_term(term):
+                nonlocal acc
+                acc = term if acc is None else ar.add(acc, term)
+
+            e_tm1 = E.get((src_i, src_j, t - 1)) if t >= 1 else None
+            e_t = E.get((src_i, src_j, t))
+            e_tp1 = E.get((src_i, src_j, t + 1))
+            if e_tm1 is not None:
+                add_term(inv2p if e_tm1 is _ONE else ar.mul(inv2p, e_tm1))
+            if e_t is not None:
+                add_term(xp if e_t is _ONE else ar.mul(xp, e_t))
+            if e_tp1 is not None:
+                v = (
+                    ar.const(float(t + 1), ar.hi(inv2p).shape)
+                    if e_tp1 is _ONE
+                    else ar.mul_f32(e_tp1, float(t + 1))
+                )
+                add_term(v)
+            if acc is not None:
+                E[(dst_i, dst_j, t)] = acc
+
+    for i in range(li):
+        step(i, 0, i + 1, 0, xpa_d)
+    for j in range(lj):
+        for i in range(li + 1):
+            step(i, j, i, j + 1, xpb_d)
+    return E
+
+
+def r_scalar(ar, L, theta, PQ, boys_vals):
+    """Hermite Coulomb R values as a dict {(t,u,v): (T,)}."""
+    m2t = ar.mul_f32(theta, -2.0)
+    pws = [None]  # pws[n] = (-2 theta)^n; None == 1 at n=0
+    cur = m2t
+    for _ in range(L):
+        pws.append(cur)
+        cur = ar.mul(cur, m2t)
+
+    def base(m):
+        return boys_vals[0] if m == 0 else ar.mul(pws[m], boys_vals[m])
+
+    prev = {(0, 0, 0): base(L)}
+    for m in range(L - 1, -1, -1):
+        nxt = {(0, 0, 0): base(m)}
+        kmax = L - m
+        for s in range(1, kmax + 1):
+            for t in range(s + 1):
+                for u in range(s - t + 1):
+                    v = s - t - u
+                    if t > 0:
+                        d, n = 0, t
+                    elif u > 0:
+                        d, n = 1, u
+                    else:
+                        d, n = 2, v
+                    dec1 = (t - (d == 0), u - (d == 1), v - (d == 2))
+                    dec2 = (t - 2 * (d == 0), u - 2 * (d == 1), v - 2 * (d == 2))
+                    val = ar.mul(PQ[d], prev[dec1])
+                    if n >= 2 and dec2 in prev:
+                        val = ar.add(val, ar.mul_f32(prev[dec2], float(n - 1)))
+                    nxt[(t, u, v)] = val
+        prev = nxt
+    return prev
+
+
+def _stack_scalar(ar, rows, shape):
+    """Stack a flat list of (T,) values -> (T,) + shape tensor.
+
+    Entries may be None (zero) or the ``_ONE`` sentinel (exact one)."""
+    import jax.numpy as jnp
+
+    from .df64 import DF64
+
+    probe = next(r for r in rows if r is not None and r is not _ONE)
+    if hasattr(probe, "hi"):
+        zero = jnp.zeros_like(probe.hi)
+        one = jnp.ones_like(probe.hi)
+        his = [
+            zero if r is None else (one if r is _ONE else r.hi) for r in rows
+        ]
+        los = [
+            zero if (r is None or r is _ONE) else r.lo for r in rows
+        ]
+        hi = jnp.stack(his, axis=-1).reshape(probe.hi.shape + shape)
+        lo = jnp.stack(los, axis=-1).reshape(probe.hi.shape + shape)
+        return DF64(hi, lo)
+    zero = jnp.zeros_like(probe)
+    one = jnp.ones_like(probe)
+    vals = [zero if r is None else (one if r is _ONE else r) for r in rows]
+    return jnp.stack(vals, axis=-1).reshape(probe.shape + shape)
+
+
+def _e_rows(ar, li, lj, inv2p, xpa, xpb, epref):
+    """Scalar E products: flat rows list (len nf_ij * NT_ab) + dims."""
+    lab = li + lj
+    Ex = e_scalar(ar, li, lj, inv2p, xpa[0], xpb[0], seed=epref)
+    Ey = e_scalar(ar, li, lj, inv2p, xpa[1], xpb[1])
+    Ez = e_scalar(ar, li, lj, inv2p, xpa[2], xpb[2])
+    tri, _ = tri_set(lab)
+    compsa = cart_components(li)
+    compsb = cart_components(lj)
+    rows = []
+    for (iax, iay, iaz) in compsa:
+        for (ibx, iby, ibz) in compsb:
+            for (t, u, v) in tri:
+                ex = Ex.get((iax, ibx, t))
+                ey = Ey.get((iay, iby, u))
+                ez = Ez.get((iaz, ibz, v))
+                if ex is None or ey is None or ez is None:
+                    rows.append(None)  # zero entry
+                    continue
+                parts = [p for p in (ex, ey, ez) if p is not _ONE]
+                if not parts:
+                    rows.append(_ONE)
+                    continue
+                acc = parts[0]
+                for p in parts[1:]:
+                    acc = ar.mul(acc, p)
+                rows.append(acc)
+    nf = len(compsa) * len(compsb)
+    return rows, nf, len(tri)
+
+
+def _e_box(ar, li, lj, inv2p, xpa, xpb, epref):
+    """Scalar E dicts for all 3 dims -> stacked (T, nf_ij, NT_ab)."""
+    rows, nf, nt = _e_rows(ar, li, lj, inv2p, xpa, xpb, epref)
+    return _stack_scalar(ar, rows, (nf, nt))
+
+
+def cart_eri_primitive_s(ar, ls, pdata, qdata, omega: float = 0.0):
+    """Scalarized cartesian ERI block (T, nfab, nfcd); same contract as
+    ``cart_eri_primitive`` but consuming ``make_pair_data_s`` dicts."""
+    la, lb, lc, ld = ls
+    lab, lcd = la + lb, lc + ld
+    L = lab + lcd
+
+    p, q = pdata["p"], qdata["p"]
+    pq_sum = ar.add(p, q)
+    theta = ar.div(ar.mul(p, q), pq_sum)
+    rs_fac = None
+    if omega and omega > 0.0:
+        w2 = ar.const(float(omega) ** 2, ar.hi(theta).shape)
+        fac = ar.div(w2, ar.add(theta, w2))
+        theta = ar.mul(theta, fac)
+        rs_fac = ar.sqrt(fac)
+    PQ = tuple(ar.sub(a, b) for a, b in zip(pdata["P"], qdata["P"]))
+    r2 = ar.add(ar.add(ar.mul(PQ[0], PQ[0]), ar.mul(PQ[1], PQ[1])),
+                ar.mul(PQ[2], PQ[2]))
+    boys_vals = ar.boys(L, ar.mul(theta, r2))
+    R = r_scalar(ar, L, theta, PQ, boys_vals)
+
+    inv2p = ar.scale_pow2(ar.recip(p), 0.5)
+    inv2q = ar.scale_pow2(ar.recip(q), 0.5)
+    tri_ab, _ = tri_set(lab)
+    tri_cd, _ = tri_set(lcd)
+    rowsB, nfab, NTab = _e_rows(
+        ar, la, lb, inv2p, pdata["xpa"], pdata["xpb"], pdata["epref"]
+    )
+    rowsD, nfcd, NTcd = _e_rows(
+        ar, lc, ld, inv2q, qdata["xpa"], qdata["xpb"], qdata["epref"]
+    )
+    signs = ket_signs(lcd)
+
+    cost = NTab * nfcd * NTcd + nfab * NTab * nfcd
+    if cost <= _SCALAR_ASM_MAX:
+        # fully scalar assembly: pure (T,) FMA chains, no bmm / stacks
+        # in the inner contraction (best for low-l classes, where the
+        # tiny batched matmuls dominate the stacked path)
+        EB2 = [rowsB[f * NTab : (f + 1) * NTab] for f in range(nfab)]
+        ED2 = [rowsD[f * NTcd : (f + 1) * NTcd] for f in range(nfcd)]
+
+        def fma(acc, a, b, negate=False):
+            """acc +/- a*b with _ONE/None sentinel handling."""
+            if a is None or b is None:
+                return acc
+            if a is _ONE and b is _ONE:
+                term = ar.const(1.0, ar.hi(p).shape)
+            elif a is _ONE:
+                term = b
+            elif b is _ONE:
+                term = a
+            else:
+                term = ar.mul(a, b)
+            if negate:
+                term = ar.neg(term)
+            return term if acc is None else ar.add(acc, term)
+
+        S = []
+        for itb, tb in enumerate(tri_ab):
+            row = []
+            for fcd in range(nfcd):
+                acc = None
+                for itk, tk in enumerate(tri_cd):
+                    e = ED2[fcd][itk]
+                    if e is None:
+                        continue
+                    r = R[(tb[0] + tk[0], tb[1] + tk[1], tb[2] + tk[2])]
+                    acc = fma(acc, e, r, negate=signs[itk] < 0)
+                row.append(acc)
+            S.append(row)
+        g_rows = []
+        for fab in range(nfab):
+            for fcd in range(nfcd):
+                acc = None
+                for itb in range(NTab):
+                    acc = fma(acc, EB2[fab][itb], S[itb][fcd])
+                g_rows.append(acc)
+        out = _stack_scalar(ar, g_rows, (nfab, nfcd))
+    else:
+        EB = _stack_scalar(ar, rowsB, (nfab, NTab))
+        ED = _stack_scalar(ar, rowsD, (nfcd, NTcd))
+        ED = ar.mul_f32(ED, signs[None, None, :])
+        rows = []
+        for tb in tri_ab:
+            for tk in tri_cd:
+                rows.append(R[(tb[0] + tk[0], tb[1] + tk[1], tb[2] + tk[2])])
+        M = _stack_scalar(ar, rows, (NTab, NTcd))
+        W = ar.bmm(M, _transpose12(ED))  # (T, NTab, nfcd)
+        out = ar.bmm(EB, W)  # (T, nfab, nfcd)
+
+    Tshape = ar.hi(p).shape
+    pref = ar.mul(
+        ar.const(2.0 * math.pi ** 2.5, Tshape),
+        ar.recip(ar.mul(ar.mul(p, q), ar.sqrt(pq_sum))),
+    )
+    if rs_fac is not None:
+        pref = ar.mul(pref, rs_fac)
+    pref = ar.mul(pref, ar.mul(pdata["coef"], qdata["coef"]))
+    return ar.mul(out, pref[..., None, None])
+
+
 __all__ = [
     "make_pair_data",
     "e_tensor",
