@@ -153,17 +153,14 @@ class BasisLayout:
 
     # ------------------------------------------------------------ dm_cond
     def dm_cond(self, dm_int: np.ndarray) -> np.ndarray:
-        """Shell-block max |dm| pooling (nbas, nbas), host-side.
+        """Shell-block max |dm| pooling (nbas, nbas), vectorized host-side.
 
         Reference: max_block_pooling
         (/root/reference/jqc/backend/linalg_helper.py:125)."""
-        nb = self.nbas
-        out = np.zeros((nb, nb))
-        al = self.ao_loc_int
-        for i in range(nb):
-            for j in range(nb):
-                out[i, j] = np.abs(dm_int[al[i]:al[i + 1], al[j]:al[j + 1]]).max()
-        return out
+        ad = np.abs(np.asarray(dm_int, np.float64))
+        starts = self.ao_loc_int[:-1]
+        rows = np.maximum.reduceat(ad, starts, axis=0)
+        return np.maximum.reduceat(rows, starts, axis=1)
 
 
 __all__ = ["BasisLayout", "PrimPairBlock"]

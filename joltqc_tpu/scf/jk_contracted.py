@@ -144,13 +144,33 @@ def _cat_vals(parts):
 
 
 def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
-                     tables, tasks, dm, vj, vk):
-    """Traced body of one class scan (shared by the per-class and fused
-    execution paths)."""
+                     tables, tasks, dm, vj, vk, bound, axis_name=None):
+    """Traced body of one class scan (shared by the per-class, fused, and
+    sharded execution paths).
+
+    ``bound`` is a replicated f32 scalar upper bound on every
+    contribution magnitude in this class (host-computed from the
+    screened Schwarz x density bound).  Using it as the limb scale --
+    instead of a data-dependent per-chunk max -- makes the scatter scale
+    identical on every device, so with ``axis_name`` set (inside
+    shard_map) the int32 limb scatters combine with one exact ``psum``
+    per chunk: integer adds are associative, hence the multi-chip result
+    is bit-identical to the single-chip result of the same plan.  (A
+    pmax-agreed dynamic scale was tried first, but collectives inside a
+    ``lax.scan`` body under ``shard_map(check_vma=False)`` mis-executed
+    on the CPU mesh -- the static bound is both safer and cheaper.)"""
     isdf = tier in ("df64", "fp64")
     nfs = tuple(_nf(l) for l in ls)
 
     ia, ib, ic, idd, w = tasks
+
+    def _accum(acc, vals, idx):
+        joined = _cat_vals(list(vals))
+        jix = jnp.concatenate(list(idx))
+        limbs, sexp = scatter_limbs(joined, jix, nao * nao, x_abs_max=bound)
+        if axis_name is not None:
+            limbs = jax.lax.psum(limbs, axis_name)
+        return df.add(acc, limbs_to_df64(limbs, sexp))
 
     def chunk(carry, t):
         vj, vk = carry
@@ -175,15 +195,9 @@ def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
             tier, G, aos, nfs, dm, nao, with_j, with_k
         )
         if with_j:
-            limbs, sexp = scatter_limbs(
-                _cat_vals(list(jvals)), jnp.concatenate(list(jidx)), nao * nao
-            )
-            vj = df.add(vj, limbs_to_df64(limbs, sexp))
+            vj = _accum(vj, jvals, jidx)
         if with_k:
-            limbs, sexp = scatter_limbs(
-                _cat_vals(list(kvals)), jnp.concatenate(list(kidx)), nao * nao
-            )
-            vk = df.add(vk, limbs_to_df64(limbs, sexp))
+            vk = _accum(vk, kvals, kidx)
         return (vj, vk), None
 
     (vj, vk), _ = jax.lax.scan(chunk, (vj, vk), (ia, ib, ic, idd, w))
@@ -204,12 +218,14 @@ def _fused_scan_fn(sig, nao, with_j, with_k, omega=0.0):
 
     sig: tuple of (ls, nprims, tier) per entry."""
 
-    def fn(tables_list, tasks_list, dm_df, dm_f32, vj, vk):
-        for (ls, nprims, tier), tbls, tasks in zip(sig, tables_list, tasks_list):
+    def fn(tables_list, tasks_list, dm_df, dm_f32, vj, vk, bounds):
+        for (ls, nprims, tier), tbls, tasks, bound in zip(
+            sig, tables_list, tasks_list, bounds
+        ):
             dm = dm_df if tier in ("df64", "fp64") else dm_f32
             vj, vk = _class_scan_body(
                 ls, nprims, tier, nao, with_j, with_k, omega,
-                tbls, tasks, dm, vj, vk,
+                tbls, tasks, dm, vj, vk, bound,
             )
         return vj, vk
 
@@ -226,13 +242,46 @@ def _class_scan_fn(ls, nprims, tier, nao, with_j, with_k, omega=0.0):
       dm     = (nao, nao) ar-native; vj/vk DF64 (nao*nao,) accumulators.
     """
 
-    def fn(tables, tasks, dm, vj, vk):
+    def fn(tables, tasks, dm, vj, vk, bound):
         return _class_scan_body(
             ls, nprims, tier, nao, with_j, with_k, omega,
-            tables, tasks, dm, vj, vk,
+            tables, tasks, dm, vj, vk, bound,
         )
 
     return jax.jit(fn, donate_argnums=(3, 4))
+
+
+@lru_cache(maxsize=None)
+def _sharded_class_scan_fn(mesh, ls, nprims, tier, nao, with_j, with_k,
+                           omega=0.0):
+    """Multi-chip variant of ``_class_scan_fn``: the task chunks (axis 1,
+    the within-chunk batch) are sharded over the mesh's ``tasks`` axis;
+    dm / tables / accumulators are replicated; the per-chunk int32 limb
+    scatters are psum'd (exact -- see ``_class_scan_body``).
+
+    TPU-native multi-chip Fock build (SURVEY SS2.8: the reference is
+    single-GPU, /root/reference/README.md:104 -- this axis is where the
+    TPU build exceeds the reference)."""
+    try:  # jax >= 0.6 exposes shard_map at top level
+        from jax import shard_map as _shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def fn(tables, tasks, dm, vj, vk, bound):
+        return _class_scan_body(
+            ls, nprims, tier, nao, with_j, with_k, omega,
+            tables, tasks, dm, vj, vk, bound, axis_name="tasks",
+        )
+
+    sharded = _shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, "tasks"), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(3, 4))
 
 
 def _chunk_size(ls, ntasks=None, target_elems=1 << 21, nprims=None, tier=None):
@@ -249,12 +298,16 @@ def _chunk_size(ls, ntasks=None, target_elems=1 << 21, nprims=None, tier=None):
             return int(b)
     nfab = _nf(ls[0]) * _nf(ls[1])
     nfcd = _nf(ls[2]) * _nf(ls[3])
-    b = target_elems // (nfab * nfcd)
+    nfel = nfab * nfcd
+    b = target_elems // nfel
     b = 1 << int(np.floor(np.log2(max(b, 128))))
     if ntasks is not None:
         # don't pad tiny task lists up to a huge chunk
         b = min(b, 1 << int(np.ceil(np.log2(max(ntasks, 64)))))
-    return int(min(b, 8192))
+    # low-l classes run far below VPU peak at 8192 tasks/chunk (round-1
+    # profiling); let them amortize fixed per-chunk cost over more tasks
+    cap = 65536 if nfel <= 9 else (16384 if nfel <= 81 else 8192)
+    return int(min(b, cap))
 
 
 class JKEngine:
@@ -265,12 +318,26 @@ class JKEngine:
         layout: BasisLayout,
         cutoff_fp32: float = 1e-13,
         cutoff_fp64: float = 1e-6,
+        mesh=None,
+        merge_nprim: bool | None = None,
     ):
         self.layout = layout
         self.nao = layout.nao_int
         self.cutoff_fp32 = cutoff_fp32
         self.cutoff_fp64 = cutoff_fp64
-        self.classes = build_shell_classes(layout)
+        # multi-chip: a jax.sharding.Mesh with a "tasks" axis; task batches
+        # are sharded over it and limb scatters psum'd exactly, so the
+        # sharded get_jk is bit-identical to the single-chip one
+        self.mesh = mesh
+        self._ndev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+        # nprim-bucket merging: small systems are launch-bound (~4 ms per
+        # class dispatch), so collapsing the up-to-16 bucket combos per
+        # l-quartet into one wins; large systems are compute-bound and
+        # prefer tight buckets (no padded primitive-quartet waste)
+        if merge_nprim is None:
+            merge_nprim = layout.nao_int < 400
+        self.merge_nprim = merge_nprim
+        self.classes = build_shell_classes(layout, merge_nprim=merge_nprim)
         self.pair_classes = build_pair_classes(self.classes)
         self._tables32 = None
         self._tables64 = None
@@ -314,16 +381,15 @@ class JKEngine:
         return self._tables64
 
     # ------------------------------------------------------------ schwarz
-    def _ensure_q(self, pc):
-        if pc.q_log is not None:
-            return
+    def _q_raw(self, pc, omega=0.0):
+        """f32 Schwarz diag sqrt-log bound per pair, in CURRENT pair order."""
         c1, c2 = self.classes[pc.ci], self.classes[pc.cj]
         ls = (c1.l, c2.l, c1.l, c2.l)
         nprims = (c1.nprim, c2.nprim, c1.nprim, c2.nprim)
         P = pc.npair
         B = _chunk_size(ls, P)
         q = np.zeros(P, np.float32)
-        fn = _q_diag_fn(ls, nprims)
+        fn = _q_diag_fn(ls, nprims, float(omega))
         t32 = self._tables(tier="f32")
         tb1, tb2 = t32[pc.ci], t32[pc.cj]
         for s in range(0, P, B):
@@ -335,13 +401,43 @@ class JKEngine:
                 j = np.concatenate([j, np.full(pad, c2.nshell, np.int32)])
             qq = fn(tb1, tb2, jnp.asarray(i), jnp.asarray(j))
             q[s : s + B] = np.asarray(qq)[: min(B, P - s)]
-        pc.q_log = np.log(np.maximum(q, 1e-38)) * 0.5
-        sort_pairs_by_q(pc)
+        return np.log(np.maximum(q, 1e-38)) * 0.5
+
+    def _ensure_q(self, pc, omega=0.0):
+        """Pair Schwarz bounds; per-omega variants share the omega=0 sort
+        order (valid: the erf-attenuated (ab|ab)_w is bounded by the full
+        -Coulomb value, so the omega=0 candidate generation is a superset;
+        reference per-omega q_matrix: jqc/pyscf/basis.py:218-243)."""
+        if pc.q_log is None:
+            pc.q_log = self._q_raw(pc)
+            sort_pairs_by_q(pc)
+        omega = float(omega or 0.0)
+        if omega == 0.0:
+            return pc.q_log
+        if omega not in pc.q_omega:
+            pc.q_omega[omega] = self._q_raw(pc, omega)
+        return pc.q_omega[omega]
 
     # --------------------------------------------------------------- plan
-    def _build_plan(self, logdm):
+    def _build_plan(self, logdm, dm_cond_log=None, omega=0.0):
+        """Screened task plan.
+
+        ``logdm``: global log max |dm| bound (candidate generation).
+        ``dm_cond_log``: optional (nbas, nbas) log shell-block density
+        bounds; with it each task's bound is q_ij + q_kl + max over the
+        six relevant dm blocks -- matching the reference's per-element
+        screening (jk/screen_jk_tasks.cu:240-262) instead of one global
+        density bound.  ``omega > 0`` additionally re-screens and
+        re-tiers with the erf-attenuated per-omega Schwarz bounds.
+        Tier statistics are recorded in ``self.plan_stats``.
+        """
+        omega = float(omega or 0.0)
         log32 = np.log(self.cutoff_fp32) - logdm
         log64 = np.log(self.cutoff_fp64) - logdm
+        log32_abs = float(np.log(self.cutoff_fp32))
+        log64_abs = float(np.log(self.cutoff_fp64))
+        refine = dm_cond_log is not None or omega != 0.0
+        stats = dict(ntasks=0, n64=0, cand=0, cand64=0)
         plan = []
         for p1i in range(len(self.pair_classes)):
             p1 = self.pair_classes[p1i]
@@ -356,11 +452,55 @@ class JKEngine:
                 c = [self.classes[k] for k in (p1.ci, p1.cj, p2.ci, p2.cj)]
                 ls = tuple(x.l for x in c)
                 nprims = tuple(x.nprim for x in c)
+                if refine:
+                    stats["cand"] += len(t1)
+                    stats["cand64"] += int(tier64.sum())
+                    q1 = self._ensure_q(p1, omega)
+                    q2 = self._ensure_q(p2, omega)
+                    qsum = q1[t1] + q2[t2]
+                    if dm_cond_log is not None:
+                        D = dm_cond_log
+                        i = c[0].shell_ids[p1.i_loc[t1]]
+                        j = c[1].shell_ids[p1.j_loc[t1]]
+                        k = c[2].shell_ids[p2.i_loc[t2]]
+                        ll = c[3].shell_ids[p2.j_loc[t2]]
+                        dmx = np.maximum.reduce(
+                            [D[i, j], D[k, ll], D[i, k], D[i, ll],
+                             D[j, k], D[j, ll]]
+                        )
+                    else:
+                        dmx = np.full(len(t1), logdm, np.float32)
+                    dq = qsum + dmx
+                    keep = dq > log32_abs
+                    t1, t2, w = t1[keep], t2[keep], w[keep]
+                    dq = dq[keep]
+                    tier64 = dq > log64_abs
+                    if len(t1) == 0:
+                        continue
+                else:
+                    dq = p1.q_log[t1] + p2.q_log[t2] + logdm
+                stats["ntasks"] += len(t1)
+                stats["n64"] += int(tier64.sum())
+                # static limb-scale bound for the scatter accumulation:
+                # |contribution| <= 2 * nf_sum * exp(q_ij+q_kl+dm_block)
+                # (2: the vj double-count factor; nf_sum: the densest
+                # block contraction length).  Rigorous -> the int32 limb
+                # decomposition never clips, on any device partitioning.
+                nf = [_nf(x) for x in ls]
+                nf_sum = max(
+                    nf[0] * nf[1], nf[2] * nf[3], nf[0] * nf[2],
+                    nf[0] * nf[3], nf[1] * nf[2], nf[1] * nf[3],
+                )
                 for tier, sel in (("df64", tier64), ("f32", ~tier64)):
                     n = int(sel.sum())
                     if n == 0:
                         continue
+                    bound_log = float(dq[sel].max()) + np.log(2.0 * nf_sum) + 0.5
+                    bound = np.float32(np.exp(min(bound_log, 80.0)))
                     B = _chunk_size(ls, n, nprims=nprims, tier=tier)
+                    if self._ndev > 1:
+                        # within-chunk batch is sharded over the mesh
+                        B = -(-B // self._ndev) * self._ndev
                     s1, s2, sw = t1[sel], t2[sel], w[sel]
                     # pow2-bucket the chunk count so plans rebuilt at
                     # different density bounds (incremental direct SCF)
@@ -387,12 +527,15 @@ class JKEngine:
                         dict(
                             ls=ls, nprims=nprims, tier=tier, ntasks=n,
                             cls_idx=(p1.ci, p1.cj, p2.ci, p2.cj), tasks=tasks,
+                            bound=jnp.asarray(bound),
                         )
                     )
+        self.plan_stats = stats
         return plan
 
     # ---------------------------------------------------------------- jk
-    def _run_plan(self, dm_int, with_j, with_k, omega, bucketed=False):
+    def _run_plan(self, dm_int, with_j, with_k, omega, bucketed=False,
+                  cond=None):
         """Raw folded accumulators over the canonical-task plan.
 
         Returns (vj, vk) as f64 (nao, nao) partials P: the symmetric-dm
@@ -402,44 +545,69 @@ class JKEngine:
         import time as _time
 
         nao = self.nao
-        logdm = float(np.log(max(np.abs(dm_int).max(), 1e-30)))
+        # per-shell-block density bounds (reference: max_block_pooling +
+        # per-element q_ij+q_kl+max(dm) screening) with a 0.7 log-unit
+        # reuse margin; plans are rebuilt only when some block outgrows
+        # its margin (density shrinks toward convergence, so this is rare)
+        if cond is None:
+            cond = self.layout.dm_cond(dm_int)
+        D = np.log(np.maximum(cond, 1e-30)).astype(np.float32)
+        logdm = float(D.max())
+        okey = float(omega or 0.0)
         if bucketed:
             # incremental path: delta-dm norms decay over the SCF, and
             # rescreening at each smaller bound drops most tasks.  Plans
             # are cached per density-bound bucket (4 log units) with
             # pow2 chunk counts, bounding the distinct compiled shapes.
+            # (The selected plan stays LOCAL: the full-density plan
+            # caches must not be clobbered by a delta-dm bucket plan.)
             if not hasattr(self, "_plans"):
                 self._plans = {}
-            bucket = int(np.floor(logdm / 4.0))
-            if bucket not in self._plans:
-                self._plans[bucket] = self._build_plan(
-                    (bucket + 1) * 4.0 + 0.7
-                )
-            self._plan = self._plans[bucket]
-        elif self._plan is None or logdm > self._plan_logdm:
-            self._plan_logdm = logdm + 0.7  # reuse margin: ~2x density growth
-            self._plan = self._build_plan(self._plan_logdm)
+            bucket = (int(np.floor(logdm / 4.0)), okey)
+            bound = (bucket[0] + 1) * 4.0 + 0.7
+            cached = self._plans.get(bucket)
+            if cached is None or np.any(D > cached[1]):
+                Dm = np.minimum(D + 0.7, bound).astype(np.float32)
+                cached = (self._build_plan(bound, Dm, okey), Dm)
+                self._plans[bucket] = cached
+            plan = cached[0]
+        else:
+            if not hasattr(self, "_plans_full"):
+                self._plans_full = {}
+            cached = self._plans_full.get(okey)
+            if cached is None or np.any(D > cached[1]):
+                Dm = (D + 0.7).astype(np.float32)
+                cached = (self._build_plan(logdm + 0.7, Dm, okey), Dm)
+                self._plans_full[okey] = cached
+            plan = self._plan = cached[0]
 
         dm_df = df.from_f64(dm_int)
         dm_f32 = jnp.asarray(dm_int, jnp.float32)
 
         vj = df.const(0.0, (nao * nao,))
         vk = df.const(0.0, (nao * nao,))
-        if self.profile or not self.fuse_group:
+        if self.profile or not self.fuse_group or self.mesh is not None:
             # per-class launches (async pipeline); profile=True adds a
             # sync per class for accurate attribution
-            for entry in self._plan:
+            for entry in plan:
                 t0 = _time.perf_counter()
                 tier = entry["tier"]
                 tables = self._tables(tier)
                 tbls = tuple(tables[k] for k in entry["cls_idx"])
-                fn = _class_scan_fn(
-                    entry["ls"], entry["nprims"], tier, nao, with_j, with_k,
-                    omega,
-                )
+                if self.mesh is not None:
+                    fn = _sharded_class_scan_fn(
+                        self.mesh, entry["ls"], entry["nprims"], tier, nao,
+                        with_j, with_k, omega,
+                    )
+                else:
+                    fn = _class_scan_fn(
+                        entry["ls"], entry["nprims"], tier, nao, with_j,
+                        with_k, omega,
+                    )
                 vj, vk = fn(
                     tbls, entry["tasks"],
                     dm_df if tier == "df64" else dm_f32, vj, vk,
+                    entry["bound"],
                 )
                 if self.profile:
                     jax.block_until_ready(vj.hi if with_j else vk.hi)
@@ -452,8 +620,8 @@ class JKEngine:
             # launch dominate at small sizes, so run the whole plan in a
             # few compiled programs
             G = self.fuse_group
-            for g in range(0, len(self._plan), G):
-                group = self._plan[g : g + G]
+            for g in range(0, len(plan), G):
+                group = plan[g : g + G]
                 sig = tuple(
                     (e["ls"], e["nprims"], e["tier"]) for e in group
                 )
@@ -462,8 +630,11 @@ class JKEngine:
                     for e in group
                 )
                 tasks_list = tuple(e["tasks"] for e in group)
+                bounds = tuple(e["bound"] for e in group)
                 fn = _fused_scan_fn(sig, nao, with_j, with_k, omega)
-                vj, vk = fn(tables_list, tasks_list, dm_df, dm_f32, vj, vk)
+                vj, vk = fn(
+                    tables_list, tasks_list, dm_df, dm_f32, vj, vk, bounds
+                )
         vj64 = df.to_f64(vj).reshape(nao, nao) if with_j else None
         vk64 = df.to_f64(vk).reshape(nao, nao) if with_k else None
         return vj64, vk64
@@ -500,14 +671,23 @@ class JKEngine:
             np.abs(dm).max(), 1.0
         )
         dms = dm if sym else 0.5 * (dm + dm.T)
+        dms_int = lay.dm_to_internal(dms)
+        cond = lay.dm_cond(dms_int)
+        dma_int = None
+        if not sym and with_k:
+            dma_int = lay.dm_to_internal(0.5 * (dm - dm.T))
+            # one shared density bound for both passes so the plan cache
+            # is not rebuilt twice per call
+            cond = np.maximum(cond, lay.dm_cond(dma_int))
         vj, vk = self._run_plan(
-            lay.dm_to_internal(dms), with_j, with_k, omega, bucketed
+            dms_int, with_j, with_k, omega, bucketed, cond=cond
         )
         out_j = lay.mat_to_mol(vj + vj.T) if with_j else None
         out_k = lay.mat_to_mol(vk + vk.T) if with_k else None
-        if not sym and with_k:
-            dma_int = lay.dm_to_internal(0.5 * (dm - dm.T))
-            _, pka = self._run_plan(dma_int, False, True, omega, bucketed)
+        if dma_int is not None:
+            _, pka = self._run_plan(
+                dma_int, False, True, omega, bucketed, cond=cond
+            )
             out_k = out_k + lay.mat_to_mol(pka - pka.T)
         return out_j, out_k
 
@@ -542,8 +722,8 @@ class JKEngine:
 
 
 @lru_cache(maxsize=None)
-def _q_diag_fn(ls, nprims):
-    """f32 Schwarz diagonal q^2 = max |(ab|ab)| per pair (jitted)."""
+def _q_diag_fn(ls, nprims, omega=0.0):
+    """f32 Schwarz diagonal q^2 = max |(ab|ab)_omega| per pair (jitted)."""
 
     def fn(tb1, tb2, i, j):
         geom = {}
@@ -552,7 +732,7 @@ def _q_diag_fn(ls, nprims):
             geom[f"coord_{name}"] = jnp.take(coord, idx, axis=0)
             geom[f"exps_{name}"] = jnp.take(exps, idx, axis=0)
             geom[f"coefs_{name}"] = jnp.take(coefs, idx, axis=0)
-        G = contracted_eri_batch("f32", ls, nprims, geom)
+        G = contracted_eri_batch("f32", ls, nprims, geom, omega)
         diag = jnp.abs(jnp.diagonal(G, axis1=1, axis2=2))
         return jnp.max(diag, axis=1)
 

@@ -51,6 +51,9 @@ class PairClass:
     j_loc: np.ndarray  # (P,) int32 (center b)
     diag: np.ndarray  # (P,) bool, same shell twice
     q_log: np.ndarray = None  # (P,) f32 log sqrt(max |(ab|ab)|)
+    # per-omega Schwarz bounds (erf-attenuated), aligned to the q-sorted
+    # pair order; populated lazily by the engine for omega > 0 plans
+    q_omega: dict = field(default_factory=dict)
 
     @property
     def npair(self):
@@ -72,7 +75,9 @@ def _segments(nprim: int):
     return segs
 
 
-def build_shell_classes(layout: BasisLayout) -> list[ShellClass]:
+def build_shell_classes(
+    layout: BasisLayout, merge_nprim: bool = False
+) -> list[ShellClass]:
     """Group shell *segments* by (l, nprim bucket) + one pad shell each.
 
     Deep contractions are split into <=3-primitive segments sharing the
@@ -80,11 +85,27 @@ def build_shell_classes(layout: BasisLayout) -> list[ShellClass]:
     the TPU analogue of the reference's split_basis
     (/root/reference/jqc/pyscf/basis.py:678), keeping the compiled-class
     count independent of contraction depth.
+
+    ``merge_nprim=True`` collapses the 1-prim and 3-prim buckets of each
+    l into ONE class (1-prim segments zero-padded to the group's max
+    bucket).  This cuts the number of compiled classes AND dispatched
+    launches per Fock build by up to 16x (2^4 bucket combos per
+    l-quartet) at the price of wasted primitive-quartet work on the
+    padded slots -- the right trade for small, launch-bound systems
+    (round-1 profiling: ~4 ms/launch floor through the PJRT tunnel).
     """
     mol = layout.mol
+    if merge_nprim:
+        # one bucket per l: the max segment length present in that group
+        lmax_bucket: dict[int, int] = {}
+        for sh in mol.shells:
+            for s0, n, bucket in _segments(sh.nprim):
+                lmax_bucket[sh.l] = max(lmax_bucket.get(sh.l, 1), bucket)
     groups: dict[tuple[int, int], list] = {}
     for i, sh in enumerate(mol.shells):
         for s0, n, bucket in _segments(sh.nprim):
+            if merge_nprim:
+                bucket = lmax_bucket[sh.l]
             groups.setdefault((sh.l, bucket), []).append((i, s0, n))
     out = []
     for (l, bucket), segs in sorted(groups.items()):

@@ -73,3 +73,27 @@ def test_sharded_matches_single_chip(problem, ls, tier):
         np.testing.assert_allclose(df.to_f64(vj_s), df.to_f64(vj_1), atol=2e-8)
         np.testing.assert_allclose(df.to_f64(vk_s), df.to_f64(vk_1), atol=2e-8)
     assert np.abs(df.to_f64(vj_s)).max() > 0
+
+
+def test_sharded_production_engine_bit_exact():
+    """Full mixed-precision JKEngine.get_jk sharded over the mesh must be
+    bit-identical to the single-chip engine (VERDICT round-1 task 1:
+    shard the PRODUCTION engine, not just the debug path)."""
+    from joltqc_tpu.scf.jk_contracted import JKEngine as CJKEngine
+
+    mol = Molecule.from_atom_string(
+        "O 0 0 0.1174; H -0.757 0 -0.4696; H 0.757 0 -0.4696", basis="sto-3g"
+    )
+    layout = BasisLayout(mol)
+    rng = np.random.default_rng(3)
+    nao = mol.nao
+    dm = rng.standard_normal((nao, nao))
+    dm = dm + dm.T
+
+    mesh = Mesh(np.array(jax.devices()), ("tasks",))
+    vj_s, vk_s = CJKEngine(layout, mesh=mesh).get_jk(dm)
+    vj_1, vk_1 = CJKEngine(layout).get_jk(dm)
+
+    assert np.abs(vj_s).max() > 0
+    np.testing.assert_array_equal(vj_s, vj_1)
+    np.testing.assert_array_equal(vk_s, vk_1)
