@@ -246,13 +246,37 @@ def _blocked(coords, B):
     return coords.reshape(-1, B, 3), N
 
 
-def eval_rho_all(ni: NumInt, grids, dm_int, family):
+def _select_blocks(blocks, block_sel):
+    """Gather a pow2-padded subset of grid blocks (pad = far-away)."""
+    nsel = len(block_sel)
+    npad = (1 << int(np.ceil(np.log2(max(nsel, 1))))) - nsel
+    sub = blocks[block_sel]
+    if npad:
+        sub = np.concatenate([sub, np.full((npad,) + blocks.shape[1:], 1e3)])
+    return sub
+
+
+def eval_rho_all(ni: NumInt, grids, dm_int, family, block_sel=None):
     """rho rows on the full padded grid: numpy (1 | 4 | 5, N).
 
     family: 'lda' | 'gga' | 'mgga' (rows: rho; +grad; +tau).  One jitted
-    scan over all grid blocks."""
+    scan over all grid blocks.  ``block_sel`` (sorted int array)
+    restricts evaluation to those grid blocks -- the incremental-DFT
+    path (reference: jqc/pyscf/rks.py:329-359) evaluates only blocks
+    where the delta density is significant; unevaluated blocks return 0."""
     family = _family_arg(family)
-    blocks, N = _blocked(grids.coords, ni.block)
+    B = ni.block
+    blocks, N = _blocked(grids.coords, B)
+    if block_sel is not None:
+        sub = _select_blocks(blocks, block_sel)
+        fn = ni._rho_scan(len(sub), family)
+        got = fn(jnp.asarray(sub, jnp.float32), jnp.asarray(dm_int, jnp.float32))
+        got = np.asarray(got, np.float64)
+        rows = got.shape[1]
+        out = np.zeros((rows, len(blocks) * B))
+        for k, b in enumerate(block_sel):
+            out[:, b * B : (b + 1) * B] = got[k]
+        return out[:, :N]
     fn = ni._rho_scan(len(blocks), family)
     out = fn(jnp.asarray(blocks, jnp.float32), jnp.asarray(dm_int, jnp.float32))
     rows = out.shape[1]
@@ -260,8 +284,11 @@ def eval_rho_all(ni: NumInt, grids, dm_int, family):
     return out[:, :N]
 
 
-def eval_vxc_mat(ni: NumInt, grids, wv, family):
-    """V_xc matrix from potential rows wv (numpy (1 | 4 | 5, N))."""
+def eval_vxc_mat(ni: NumInt, grids, wv, family, block_sel=None):
+    """V_xc matrix from potential rows wv (numpy (1 | 4 | 5, N)).
+
+    ``block_sel`` restricts the quadrature to those grid blocks (the
+    incremental path passes delta-wv and sums only significant blocks)."""
     family = _family_arg(family)
     B = ni.block
     blocks, N = _blocked(grids.coords, B)
@@ -270,6 +297,17 @@ def eval_vxc_mat(ni: NumInt, grids, wv, family):
     wvp = np.zeros((rows, nblk * B))
     wvp[:, :N] = wv[:, :N]
     wv_blocks = wvp.reshape(rows, nblk, B).transpose(1, 0, 2)
+    if block_sel is not None:
+        sub = _select_blocks(blocks, block_sel)
+        wv_sub = wv_blocks[block_sel]
+        npad = len(sub) - len(wv_sub)
+        if npad:
+            wv_sub = np.concatenate(
+                [wv_sub, np.zeros((npad,) + wv_sub.shape[1:])]
+            )
+        fn = ni._vxc_scan(len(sub), family)
+        acc = fn(jnp.asarray(sub, jnp.float32), jnp.asarray(wv_sub, jnp.float32))
+        return df.to_f64(acc)
     fn = ni._vxc_scan(nblk, family)
     acc = fn(jnp.asarray(blocks, jnp.float32), jnp.asarray(wv_blocks, jnp.float32))
     return df.to_f64(acc)

@@ -121,9 +121,13 @@ class RHF:
 
         return scan
 
+    def reset_incremental(self):
+        """Drop incremental-SCF caches (start of a fresh SCF run)."""
+        self.jk.reset_incremental()
+
     def kernel(self, dm0=None) -> float:
         t0 = time.time()
-        self.jk.reset_incremental()
+        self.reset_incremental()
         mol = self.mol
         s = self.get_ovlp()
         h = self.get_hcore()

@@ -53,14 +53,57 @@ class RKS(RHF):
             self.nlc = nlc
         self.grids = grids if grids is not None else Grids(mol)
         self.ni = NumInt(self.layout)
+        # DFT precision window (reference config["dft"], jqc/pyscf/
+        # __init__.py:100-118): AO pairs whose log bound exceeds
+        # cutoff_fp64 are evaluated in DF64 (dft/mixed.py); the rest run
+        # the f32 MXU bulk path.  None disables the DF64 tier.
+        self.dft_cutoff_fp64 = 1e-6
+        self.dft_cutoff_fp32 = 1e-13
+        # incremental DFT (reference jqc/pyscf/rks.py:290,329-359): with
+        # self.incremental, rho/vxcmat are cached and re-evaluated only
+        # on delta-dm / delta-wv over grid blocks whose AABB AO bound x
+        # delta magnitude is significant; exact by linearity.
+        self.incr_dft_thresh = 1e-13
+        self.dft_block_evals = 0  # evaluated-block counter (tests/logs)
+        self._dft_cache = None
+        self._blk_bounds = None
         # AO-value screening (reference: estimate_log_aovalue sparsity
-        # lists): None = auto (use the sparse path when it drops >40% of
-        # the AO work), False = always dense, float = threshold override
+        # lists): a float threshold (default 1e-12; None selects the same
+        # default) enables the sparse path when it drops >40% of the AO
+        # work; False = always dense
         self.screen_thresh = 1e-12
         self._scr = None
         self._ecoul = 0.0
         self._exc = 0.0
         self.scf_summary = {}
+
+    def _block_bounds(self):
+        """(nblk,) log bound on max |ao_i ao_j| per grid block (AABB)."""
+        if getattr(self, "_blk_bounds", None) is not None:
+            return self._blk_bounds
+        from ..dft.mixed import shell_value_bound
+        from ..dft.numint import _blocked
+
+        blocks, _ = _blocked(self.grids.coords, self.ni.block)
+        lo = blocks.min(axis=1)
+        hi = blocks.max(axis=1)
+        diam = np.linalg.norm(hi - lo, axis=1)
+        best = np.full(len(blocks), -np.inf)
+        for sh in self.mol.shells:
+            c = sh.coord[None, :]
+            d = np.maximum(lo - c, 0.0) + np.maximum(c - hi, 0.0)
+            dist = np.linalg.norm(d, axis=1)
+            rmax = dist + diam
+            emin = float(sh.exps.min())
+            cmax = float(np.abs(sh.coeffs).max() * max(sh.nprim, 1))
+            b = (
+                np.log(max(cmax, 1e-300))
+                + sh.l * np.log(np.maximum(rmax, 1.0))
+                - emin * dist**2
+            )
+            best = np.maximum(best, b)
+        self._blk_bounds = 2.0 * best  # |ao_i ao_j| <= exp(2 max log ao)
+        return self._blk_bounds
 
     def _screening(self):
         """Build (once) and return the grid screening, or None for dense."""
@@ -70,7 +113,12 @@ class RKS(RHF):
             else:
                 from ..dft.screening import GridScreening
 
-                scr = GridScreening(self.ni, self.grids, self.screen_thresh)
+                thresh = (
+                    self.screen_thresh
+                    if isinstance(self.screen_thresh, float)
+                    else 1e-12
+                )
+                scr = GridScreening(self.ni, self.grids, thresh)
                 self._scr = scr if scr.fill_fraction < 0.6 else False
         return self._scr or None
 
@@ -85,12 +133,38 @@ class RKS(RHF):
         need_grad = fam != "lda" or self.nlc is not None
         rho_fam = fam if fam != "lda" or self.nlc is None else "gga"
         scr = self._screening()
+        mixed = self.dft_cutoff_fp64 is not None and scr is None
+
+        def rho_eval(d, sel=None):
+            if mixed:
+                from ..dft.mixed import eval_rho_mixed
+
+                return eval_rho_mixed(
+                    self.ni, self.grids, d, rho_fam, lay,
+                    self.dft_cutoff_fp64, block_sel=sel,
+                )
+            return eval_rho_all(self.ni, self.grids, d, rho_fam, block_sel=sel)
+
+        cache = self._dft_cache if self.incremental and scr is None else None
+        if cache is not None and cache.get("fam") != rho_fam:
+            cache = None
         if scr is not None:
             from ..dft.screening import eval_rho_screened
 
             rho = eval_rho_screened(self.ni, scr, dm_int, rho_fam)
+        elif cache is not None:
+            ddm = dm_int - cache["dm_int"]
+            bb = self._block_bounds()
+            dlog = np.log(max(np.abs(ddm).max(), 1e-300)) + np.log(
+                max(self.layout.nao_int, 1)
+            )
+            sel = np.nonzero(bb + dlog > np.log(self.incr_dft_thresh))[0]
+            self.dft_block_evals += len(sel)
+            rho = cache["rho"] + (rho_eval(ddm, sel) if len(sel) else 0.0)
         else:
-            rho = eval_rho_all(self.ni, self.grids, dm_int, rho_fam)
+            rho = rho_eval(dm_int)
+            if self.incremental:
+                self.dft_block_evals += len(self._block_bounds())
         sigma = (rho[1:4] ** 2).sum(axis=0) if need_grad else None
         tau = rho[4] if fam == "mgga" else None
         e, vr, vs, vt = eval_xc(
@@ -124,12 +198,41 @@ class RKS(RHF):
         else:
             wv = (w * vr)[None, :]
             vxc_fam = "lda"
+        def vxc_eval(w, sel=None):
+            if mixed:
+                from ..dft.mixed import eval_vxc_mixed
+
+                return eval_vxc_mixed(
+                    self.ni, self.grids, w, vxc_fam, lay,
+                    self.dft_cutoff_fp64, block_sel=sel,
+                )
+            return eval_vxc_mat(self.ni, self.grids, w, vxc_fam, block_sel=sel)
+
         if scr is not None:
             from ..dft.screening import eval_vxc_screened
 
             vxc_int = eval_vxc_screened(self.ni, scr, wv, vxc_fam)
+        elif cache is not None and cache.get("vxc_fam") == vxc_fam:
+            dwv = wv - cache["wv"]
+            bb = self._block_bounds()
+            B = self.ni.block
+            nblk = len(bb)
+            dpad = np.zeros((dwv.shape[0], nblk * B))
+            dpad[:, : dwv.shape[1]] = np.abs(dwv)
+            blk_max = dpad.reshape(dwv.shape[0], nblk, B).max(axis=(0, 2))
+            wlog = np.log(np.maximum(blk_max * B, 1e-300))
+            selv = np.nonzero(bb + wlog > np.log(self.incr_dft_thresh))[0]
+            self.dft_block_evals += len(selv)
+            vxc_int = cache["vxc"] + (
+                vxc_eval(dwv, selv) if len(selv) else 0.0
+            )
         else:
-            vxc_int = eval_vxc_mat(self.ni, self.grids, wv, vxc_fam)
+            vxc_int = vxc_eval(wv)
+        if self.incremental and scr is None:
+            self._dft_cache = dict(
+                dm_int=dm_int, rho=rho, wv=wv, vxc=vxc_int,
+                fam=rho_fam, vxc_fam=vxc_fam,
+            )
         vxc = lay.mat_to_mol(vxc_int)
 
         jk_call = self.jk.get_jk_incr if self.incremental else self.jk.get_jk
@@ -151,11 +254,18 @@ class RKS(RHF):
     def energy_elec(self, dm, h, veff):
         return float(np.einsum("ij,ij->", dm, h)) + self._ecoul + self._exc
 
+    def reset_incremental(self):
+        super().reset_incremental()
+        self._dft_cache = None
+        self.dft_block_evals = 0
+
     def reset(self, mol=None):
         super().reset(mol)
         self.grids = Grids(self.mol)
         self.ni = NumInt(self.layout)
         self._scr = None
+        self._dft_cache = None
+        self._blk_bounds = None
         return self
 
 

@@ -16,7 +16,30 @@ only, not literature energies.
 import numpy as np
 import pytest
 
-from joltqc_tpu.dft.xc import eval_xc, hybrid_coeff, needs_tau, parse_xc, rsh_coeff
+from joltqc_tpu.dft.xc import (
+    allow_unverified_functionals,
+    eval_xc,
+    hybrid_coeff,
+    needs_tau,
+    parse_xc,
+    rsh_coeff,
+)
+
+
+@pytest.fixture(autouse=True)
+def _opt_in_unverified():
+    """These tests ARE (part of) the wb97m-v verification machinery, so
+    they opt in to the gated UNVERIFIED-DATA functional; user code gets
+    the NotImplementedError gate (test_unverified_gate)."""
+    allow_unverified_functionals(True)
+    yield
+    allow_unverified_functionals(False)
+
+
+def test_unverified_gate():
+    allow_unverified_functionals(False)
+    with pytest.raises(NotImplementedError, match="UNVERIFIED"):
+        parse_xc("wb97m-v")
 
 _CF_SPIN = 0.3 * (6.0 * np.pi**2) ** (2.0 / 3.0)
 
