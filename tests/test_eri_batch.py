@@ -56,6 +56,11 @@ CASES = [
     ("df64", (1, 0, 1, 0), (1, 2, 1, 1)),
     ("df64", (2, 2, 2, 2), (1, 1, 1, 1)),
     ("df64", (3, 2, 1, 0), (1, 1, 1, 1)),
+    # high-l coverage to LMAX=4 (g): the def2/cc basis families reach f/g
+    # shells (VERDICT round-1 gap: DF64 was untested beyond (3,2,1,0))
+    ("df64", (3, 3, 2, 1), (1, 1, 1, 1)),
+    ("df64", (4, 3, 2, 1), (1, 1, 1, 1)),
+    ("df64", (4, 4, 4, 4), (1, 1, 1, 1)),
 ]
 
 
