@@ -96,12 +96,135 @@ def molecule_from_pyscf(pmol) -> "Molecule":
     return mol
 
 
+def patch_ecp_integrals(pmol, matrix_fn):
+    """Route ``mol.intor('ECPscalar')`` to a joltqc_tpu ECP matrix.
+
+    Reference counterpart: jqc/pyscf/ecp.py:74 (patch_ecp_integrals) --
+    PySCF's ``hf.get_hcore`` fetches the ECP contribution through
+    ``mol.intor_symmetric('ECPscalar')``, so wrapping the two intor
+    entry points moves the ECP build onto the TPU engine.  ``matrix_fn``
+    is a zero-arg callable returning the (nao, nao) mol-basis matrix."""
+    orig_intor = pmol.intor
+    orig_intor_symmetric = getattr(pmol, "intor_symmetric", None)
+
+    def _route(orig, key, *args, **kw):
+        base = key.replace("_sph", "").replace("_cart", "")
+        if base == "ECPscalar":
+            return matrix_fn()
+        return orig(key, *args, **kw)
+
+    pmol.intor = lambda key, *a, **k: _route(orig_intor, key, *a, **k)
+    if orig_intor_symmetric is not None:
+        pmol.intor_symmetric = lambda key, *a, **k: _route(
+            orig_intor_symmetric, key, *a, **k
+        )
+    return pmol
+
+
+def _patch_rks(mf, mol, layout, cfg):
+    """Install grid/numint patches on an RKS-like object.
+
+    Mirrors the reference RKS patch set (jqc/pyscf/__init__.py:191-206):
+    ``_numint.nr_rks``, ``_numint.get_rho``, ``_numint.nr_nlc_vxc``, and
+    ``grids.build``."""
+    from ..dft.grids import Grids
+    from ..dft.mixed import eval_rho_mixed, eval_vxc_mixed
+    from ..dft.numint import NumInt, eval_rho_all, eval_vxc_mat
+    from ..dft.vv10 import nlc_exc_vxc
+    from ..dft.xc import eval_xc, xc_family
+
+    ni = NumInt(layout)
+    dft_cut64 = cfg["dft"]["cutoff_fp64"]
+
+    class _GridShim:
+        def __init__(self, coords):
+            self.coords = np.asarray(coords, np.float64)
+
+    def _grid_of(grids_obj):
+        if getattr(grids_obj, "coords", None) is None:
+            grids_obj.build()
+        return (
+            _GridShim(grids_obj.coords),
+            np.asarray(grids_obj.weights, np.float64),
+        )
+
+    def build_grids(*a, **k):
+        """Replace the PySCF grid build with the box-sorted TPU builder
+        (reference: jqc/pyscf/rks.py:100-177)."""
+        g = Grids(mol)
+        g.build()
+        mf.grids.coords = g.coords
+        mf.grids.weights = g.weights
+        return mf.grids
+
+    def get_rho(mol_=None, dm=None, grids=None, *a, **k):
+        shim, _w = _grid_of(grids if grids is not None else mf.grids)
+        dm_int = layout.dm_to_internal(np.asarray(dm, np.float64))
+        return eval_rho_all(ni, shim, dm_int, "lda")[0]
+
+    def nr_rks(mol_=None, grids=None, xc_code=None, dms=None, *a, **k):
+        """(nelec, excsum, vxcmat) -- the PySCF numint contract."""
+        xc_code = xc_code if xc_code is not None else mf.xc
+        fam = xc_family(xc_code)
+        shim, w = _grid_of(grids if grids is not None else mf.grids)
+        dm = np.asarray(dms, np.float64)
+        dm_int = layout.dm_to_internal(dm)
+        rho = eval_rho_mixed(ni, shim, dm_int, fam, layout, dft_cut64)
+        sigma = (rho[1:4] ** 2).sum(axis=0) if fam != "lda" else None
+        tau = rho[4] if fam == "mgga" else None
+        e, vr, vs, vt = eval_xc(xc_code, rho[0], sigma, tau)
+        nelec = float(np.sum(w * rho[0]))
+        excsum = float(np.sum(w * e))
+        if fam == "lda":
+            wv = (w * vr)[None, :]
+        else:
+            rows = [(w * vr)[None, :], 2.0 * (w * vs)[None, :] * rho[1:4]]
+            if fam == "mgga":
+                rows.append((w * vt)[None, :])
+            wv = np.concatenate(rows)
+        vmat = layout.mat_to_mol(
+            eval_vxc_mixed(ni, shim, wv, fam, layout, dft_cut64)
+        )
+        return nelec, excsum, vmat
+
+    def nr_nlc_vxc(mol_=None, grids=None, xc_code=None, dms=None, *a, **k):
+        """(nelec, e_nlc, vmat) for the VV10 nonlocal correction."""
+        from ..dft.xc import nlc_coeff
+
+        xc_code = xc_code if xc_code is not None else mf.xc
+        b_c = nlc_coeff(xc_code) or (5.9, 0.0093)
+        shim, w = _grid_of(grids if grids is not None else mf.grids)
+        dm_int = layout.dm_to_internal(np.asarray(dms, np.float64))
+        rho = eval_rho_all(ni, shim, dm_int, "gga")
+        sigma = (rho[1:4] ** 2).sum(axis=0)
+        e_nlc, vr, vs = nlc_exc_vxc(
+            shim.coords, w, rho[0], sigma, b_c[0], b_c[1]
+        )
+        wv = np.concatenate(
+            [(w * vr)[None, :], 2.0 * (w * vs)[None, :] * rho[1:4]]
+        )
+        vmat = layout.mat_to_mol(eval_vxc_mat(ni, shim, wv, "gga"))
+        return float(np.sum(w * rho[0])), e_nlc, vmat
+
+    if hasattr(mf, "grids"):
+        mf.grids.build = build_grids
+    numint = getattr(mf, "_numint", None)
+    if numint is not None:
+        numint.nr_rks = nr_rks
+        numint.get_rho = get_rho
+        numint.nr_nlc_vxc = nr_nlc_vxc
+    return ni
+
+
 def apply(mf, config: dict | None = None):
     """Patch a PySCF mean-field object to run its Fock builds on TPU.
 
-    Replaces ``get_jk``/``get_j``/``get_k`` (and for RKS the numint
-    ``nr_rks`` path) with closures over joltqc_tpu engines, mirroring the
-    reference patch set (jqc/pyscf/__init__.py:191-234)."""
+    Mirrors the full reference patch set
+    (/root/reference/jqc/pyscf/__init__.py:191-252): ``get_jk``/``get_j``
+    /``get_k`` on every RHF-type object; ``_numint.nr_rks``/``get_rho``/
+    ``nr_nlc_vxc`` + ``grids.build`` on RKS objects; ECP integrals when
+    the molecule carries an ECP; and ``reset``/``as_scanner`` wrapping so
+    geometry optimizers re-apply after geometry changes."""
     try:
         import pyscf  # noqa: F401
     except ImportError as e:  # pragma: no cover - no pyscf in CI image
@@ -109,12 +232,21 @@ def apply(mf, config: dict | None = None):
             "joltqc_tpu.pyscf.apply requires pyscf; use the standalone "
             "drivers joltqc_tpu.scf.RHF / RKS instead"
         ) from e
+    return _apply_patches(mf, config)
 
+
+def _apply_patches(mf, config: dict | None = None):
+    """The patch wiring behind ``apply`` (separated so it can be
+    unit-tested on stub objects without pyscf installed)."""
     from ..mol.layout import BasisLayout
     from ..scf.jk_contracted import JKEngine
 
     cfg = merge_config(config)
-    mol = molecule_from_pyscf(mf.mol)
+    mol = (
+        molecule_from_pyscf(mf.mol)
+        if not hasattr(mf.mol, "shells")
+        else mf.mol
+    )
     layout = BasisLayout(mol)
     engine = JKEngine(
         layout,
@@ -124,24 +256,69 @@ def apply(mf, config: dict | None = None):
 
     def get_jk(mol_=None, dm=None, hermi=1, with_j=True, with_k=True,
                omega=None, **kw):
-        dm = np.asarray(dm)
-        if dm.ndim == 3:
-            outs = [
-                engine.get_jk(d, with_j=with_j, with_k=with_k,
-                              omega=omega or 0.0)
-                for d in dm
-            ]
-            vj = np.stack([o[0] for o in outs]) if with_j else None
-            vk = np.stack([o[1] for o in outs]) if with_k else None
-            return vj, vk
-        return engine.get_jk(dm, with_j=with_j, with_k=with_k,
-                             omega=omega or 0.0)
+        # hermi is forwarded: hermi=0 callers (newton/SOSCF, CPHF, TDDFT
+        # response) rely on the engine's non-symmetric-dm path
+        return engine.get_jk(
+            np.asarray(dm), with_j=with_j, with_k=with_k,
+            omega=omega or 0.0, hermi=hermi,
+        )
+
+    # PySCF calls these positionally: self.get_j(mol, dm, hermi, ...)
+    def get_j(mol_=None, dm=None, hermi=1, *a, **k):
+        return get_jk(mol_, dm, hermi, True, False, k.get("omega"))[0]
+
+    def get_k(mol_=None, dm=None, hermi=1, *a, **k):
+        return get_jk(mol_, dm, hermi, False, True, k.get("omega"))[1]
 
     mf.get_jk = get_jk
-    mf.get_j = lambda *a, dm=None, **k: get_jk(dm=dm, with_k=False)[0]
-    mf.get_k = lambda *a, dm=None, **k: get_jk(dm=dm, with_j=False)[1]
-    mf._joltqc_tpu = dict(engine=engine, layout=layout, config=cfg)
+    mf.get_j = get_j
+    mf.get_k = get_k
+
+    ni = None
+    if hasattr(mf, "xc"):  # RKS-type object
+        ni = _patch_rks(mf, mol, layout, cfg)
+
+    if getattr(mol, "ecp", None):
+        from ..scf.ecp import ECPEngine
+
+        ecp_engine = ECPEngine(layout)
+        _cache: dict = {}
+
+        def ecp_matrix():
+            if "mat" not in _cache:
+                _cache["mat"] = ecp_engine.build()
+            return _cache["mat"]
+
+        patch_ecp_integrals(mf.mol, ecp_matrix)
+
+    # reset/as_scanner wrapping (reference: jqc/pyscf/__init__.py:239-252)
+    orig_reset = getattr(mf, "reset", None)
+    if orig_reset is not None and not getattr(mf, "_joltqc_wrapped", False):
+        def reset(mol_new=None, *a, **k):
+            out = orig_reset(mol_new, *a, **k) if mol_new is not None else orig_reset()
+            mf._joltqc_wrapped = False
+            _apply_patches(mf, config)  # rebuild layouts for new geometry
+            return out
+
+        mf.reset = reset
+
+    orig_as_scanner = getattr(mf, "as_scanner", None)
+    if orig_as_scanner is not None and not getattr(mf, "_joltqc_wrapped", False):
+        def as_scanner(*a, **k):
+            scanner = orig_as_scanner(*a, **k)
+            return scanner  # scanner drives mf.reset, which re-applies
+
+        mf.as_scanner = as_scanner
+
+    mf._joltqc_wrapped = True
+    mf._joltqc_tpu = dict(engine=engine, layout=layout, config=cfg, numint=ni)
     return mf
 
 
-__all__ = ["apply", "get_default_config", "merge_config", "molecule_from_pyscf"]
+__all__ = [
+    "apply",
+    "get_default_config",
+    "merge_config",
+    "molecule_from_pyscf",
+    "patch_ecp_integrals",
+]

@@ -35,3 +35,121 @@ def test_apply_requires_pyscf():
         pass
     with pytest.raises(ImportError, match="standalone"):
         apply(object())
+
+
+def _stub_mf(xc=None, with_ecp=False):
+    """A stub mean-field object shaped like a PySCF RHF/RKS."""
+    import numpy as np
+
+    from joltqc_tpu.mol import Molecule
+
+    ecp_txt = """
+ECP
+O nelec 2
+O ul
+2 1.24 -2.30
+END
+""" if with_ecp else None
+    mol = Molecule.from_atom_string(
+        "O 0 0 0.1174; H -0.757 0 -0.4696; H 0.757 0 -0.4696",
+        basis="sto-3g", ecp=ecp_txt,
+    )
+
+    class Grids:
+        coords = None
+        weights = None
+
+        def build(self):
+            from joltqc_tpu.dft.grids import Grids as G
+
+            g = G(mol, n_rad=20, n_theta=6)
+            g.build()
+            self.coords, self.weights = g.coords, g.weights
+            return self
+
+    class NumInt:
+        pass
+
+    class MF:
+        def __init__(self):
+            self.mol = mol
+            if xc is not None:
+                self.xc = xc
+                self.grids = Grids()
+                self._numint = NumInt()
+            self._reset_calls = 0
+
+        def reset(self, mol_new=None):
+            self._reset_calls += 1
+            return self
+
+        def as_scanner(self):
+            return lambda m: 0.0
+
+    return MF()
+
+
+def test_apply_patches_full_rks_surface():
+    """The adapter must mirror the reference patch list
+    (jqc/pyscf/__init__.py:191-252): get_jk/get_j/get_k, numint nr_rks/
+    get_rho/nr_nlc_vxc, grids.build, reset/as_scanner wrapping."""
+    import numpy as np
+
+    from joltqc_tpu.pyscf import _apply_patches
+
+    mf = _stub_mf(xc="pbe")
+    _apply_patches(mf)
+    for name in ("get_jk", "get_j", "get_k"):
+        assert callable(getattr(mf, name))
+    for name in ("nr_rks", "get_rho", "nr_nlc_vxc"):
+        assert callable(getattr(mf._numint, name))
+    assert mf._joltqc_wrapped
+
+    # positional PySCF calling conventions must work
+    n = mf.mol.nao
+    rng = np.random.default_rng(0)
+    dm = rng.standard_normal((n, n)) * 0.1
+    dm = dm + dm.T
+    vj = mf.get_j(mf.mol, dm, 1)
+    vk = mf.get_k(mf.mol, dm, 1)
+    vj2, vk2 = mf.get_jk(mf.mol, dm, 1)
+    np.testing.assert_allclose(vj, vj2, atol=1e-12)
+    np.testing.assert_allclose(vk, vk2, atol=1e-12)
+
+    # hermi=0 with a non-symmetric dm must route through the engine's
+    # non-symmetric path (ADVICE round-1: hermi was swallowed)
+    dm_ns = rng.standard_normal((n, n)) * 0.1
+    _, vk_ns = mf.get_jk(mf.mol, dm_ns, 0)
+    _, vk_sym = mf.get_jk(mf.mol, 0.5 * (dm_ns + dm_ns.T), 1)
+    assert not np.allclose(vk_ns, vk_sym)
+
+    # grids.build is replaced by the box-sorted TPU builder
+    g = mf.grids.build()
+    assert g.coords is not None and len(g.weights) == len(g.coords)
+
+    # nr_rks returns the PySCF (nelec, excsum, vmat) contract
+    nelec, excsum, vmat = mf._numint.nr_rks(mf.mol, mf.grids, "pbe", dm)
+    assert vmat.shape == (n, n)
+    assert np.isfinite(excsum)
+
+    # reset re-applies the patches (geometry-optimizer workflow)
+    mf.reset()
+    assert mf._reset_calls == 1
+    assert mf._joltqc_wrapped
+
+
+def test_apply_patches_ecp_intor_routing():
+    import numpy as np
+
+    from joltqc_tpu.pyscf import _apply_patches
+
+    mf = _stub_mf(with_ecp=True)
+    calls = []
+    mf.mol.intor = lambda key, *a, **k: calls.append(key) or None
+    _apply_patches(mf)
+    mat = mf.mol.intor("ECPscalar")
+    assert mat.shape == (mf.mol.nao, mf.mol.nao)
+    assert np.isfinite(mat).all() and np.abs(mat).max() > 0
+    # non-ECP keys still route to the original intor
+    mf.mol.intor("int1e_ovlp")
+    assert calls == ["int1e_ovlp"]
