@@ -30,6 +30,10 @@ from .harmonics import cart_components
 from .md import cart_eri_primitive_s as cart_eri_primitive
 from .md import make_pair_data_s as make_pair_data
 
+# Pallas TPU kernel for the class ERI batch (ops/eri_pallas.py); the
+# XLA path remains for CPU, high-l classes, and as a fallback
+_USE_PALLAS = os.environ.get("JQC_ERI_PALLAS", "1") != "0"
+
 # element budget for the flattened primitive batch on accelerators
 # (tasks x slice width x output block size)
 _FLAT_ELEMS = int(os.environ.get("JQC_ERI_FLAT_ELEMS", str(1 << 23)))
@@ -84,6 +88,12 @@ def contracted_eri_batch(tier: str, ls, nprims, quartet, omega: float = 0.0):
     la, lb, lc, ld = ls
     npa, npb, npc, npd = nprims
     T = ar.hi(quartet["exps_a"]).shape[0]
+
+    if _USE_PALLAS and jax.default_backend() == "tpu":
+        from .eri_pallas import eri_chunk_pallas, pallas_supported
+
+        if pallas_supported(tier, ls, nprims, T):
+            return eri_chunk_pallas(tier, ls, nprims, quartet, omega)
 
     # flattened primitive-quartet slot lists (bra-major)
     ia, ib, ic, id_ = [], [], [], []

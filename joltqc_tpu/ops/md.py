@@ -390,6 +390,12 @@ def make_pair_data_s(ar, A, B, a, b, coef):
     """Scalarized pair quantities: components are separate (T,) values."""
     Ac = tuple(_comp3(ar, A, i) for i in range(3))
     Bc = tuple(_comp3(ar, B, i) for i in range(3))
+    return make_pair_data_c(ar, Ac, Bc, a, b, coef)
+
+
+def make_pair_data_c(ar, Ac, Bc, a, b, coef):
+    """Scalarized pair quantities from component TUPLES (Pallas-friendly:
+    no (T, 3)-shaped minor-dim arrays anywhere)."""
     p = ar.add(a, b)
     invp = ar.recip(p)
     P = tuple(
@@ -554,9 +560,12 @@ def _e_box(ar, li, lj, inv2p, xpa, xpb, epref):
     return _stack_scalar(ar, rows, (nf, nt))
 
 
-def cart_eri_primitive_s(ar, ls, pdata, qdata, omega: float = 0.0):
-    """Scalarized cartesian ERI block (T, nfab, nfcd); same contract as
-    ``cart_eri_primitive`` but consuming ``make_pair_data_s`` dicts."""
+def _eri_scalar_prelude(ar, ls, pdata, qdata, omega: float):
+    """Shared prologue of the scalarized ERI assembly.
+
+    Returns (R dict, (rowsB, nfab, NTab), (rowsD, nfcd, NTcd), signs,
+    pref) where ``pref`` includes the 2 pi^{5/2}/(pq sqrt(p+q)) factor,
+    the contraction coefficients, and the range-separation scale."""
     la, lb, lc, ld = ls
     lab, lcd = la + lb, lc + ld
     L = lab + lcd
@@ -578,8 +587,6 @@ def cart_eri_primitive_s(ar, ls, pdata, qdata, omega: float = 0.0):
 
     inv2p = ar.scale_pow2(ar.recip(p), 0.5)
     inv2q = ar.scale_pow2(ar.recip(q), 0.5)
-    tri_ab, _ = tri_set(lab)
-    tri_cd, _ = tri_set(lcd)
     rowsB, nfab, NTab = _e_rows(
         ar, la, lb, inv2p, pdata["xpa"], pdata["xpb"], pdata["epref"]
     )
@@ -587,63 +594,6 @@ def cart_eri_primitive_s(ar, ls, pdata, qdata, omega: float = 0.0):
         ar, lc, ld, inv2q, qdata["xpa"], qdata["xpb"], qdata["epref"]
     )
     signs = ket_signs(lcd)
-
-    cost = NTab * nfcd * NTcd + nfab * NTab * nfcd
-    if cost <= _SCALAR_ASM_MAX:
-        # fully scalar assembly: pure (T,) FMA chains, no bmm / stacks
-        # in the inner contraction (best for low-l classes, where the
-        # tiny batched matmuls dominate the stacked path)
-        EB2 = [rowsB[f * NTab : (f + 1) * NTab] for f in range(nfab)]
-        ED2 = [rowsD[f * NTcd : (f + 1) * NTcd] for f in range(nfcd)]
-
-        def fma(acc, a, b, negate=False):
-            """acc +/- a*b with _ONE/None sentinel handling."""
-            if a is None or b is None:
-                return acc
-            if a is _ONE and b is _ONE:
-                term = ar.const(1.0, ar.hi(p).shape)
-            elif a is _ONE:
-                term = b
-            elif b is _ONE:
-                term = a
-            else:
-                term = ar.mul(a, b)
-            if negate:
-                term = ar.neg(term)
-            return term if acc is None else ar.add(acc, term)
-
-        S = []
-        for itb, tb in enumerate(tri_ab):
-            row = []
-            for fcd in range(nfcd):
-                acc = None
-                for itk, tk in enumerate(tri_cd):
-                    e = ED2[fcd][itk]
-                    if e is None:
-                        continue
-                    r = R[(tb[0] + tk[0], tb[1] + tk[1], tb[2] + tk[2])]
-                    acc = fma(acc, e, r, negate=signs[itk] < 0)
-                row.append(acc)
-            S.append(row)
-        g_rows = []
-        for fab in range(nfab):
-            for fcd in range(nfcd):
-                acc = None
-                for itb in range(NTab):
-                    acc = fma(acc, EB2[fab][itb], S[itb][fcd])
-                g_rows.append(acc)
-        out = _stack_scalar(ar, g_rows, (nfab, nfcd))
-    else:
-        EB = _stack_scalar(ar, rowsB, (nfab, NTab))
-        ED = _stack_scalar(ar, rowsD, (nfcd, NTcd))
-        ED = ar.mul_f32(ED, signs[None, None, :])
-        rows = []
-        for tb in tri_ab:
-            for tk in tri_cd:
-                rows.append(R[(tb[0] + tk[0], tb[1] + tk[1], tb[2] + tk[2])])
-        M = _stack_scalar(ar, rows, (NTab, NTcd))
-        W = ar.bmm(M, _transpose12(ED))  # (T, NTab, nfcd)
-        out = ar.bmm(EB, W)  # (T, nfab, nfcd)
 
     Tshape = ar.hi(p).shape
     pref = ar.mul(
@@ -653,6 +603,97 @@ def cart_eri_primitive_s(ar, ls, pdata, qdata, omega: float = 0.0):
     if rs_fac is not None:
         pref = ar.mul(pref, rs_fac)
     pref = ar.mul(pref, ar.mul(pdata["coef"], qdata["coef"]))
+    return R, (rowsB, nfab, NTab), (rowsD, nfcd, NTcd), signs, pref
+
+
+def eri_scalar_g_rows(ar, ls, pdata, qdata, omega: float = 0.0):
+    """Fully-scalar ERI assembly: flat list of nfab*nfcd rows, each a
+    (T,)-shaped ar value (or None for an identically-zero component),
+    with the prefactor and coefficients already folded in.
+
+    This is the Pallas-kernel-friendly form (ops/eri_pallas.py): no
+    stacks, no bmm, no minor-dim tensors -- every value keeps the task
+    batch as its only dimensions."""
+    lab, lcd = ls[0] + ls[1], ls[2] + ls[3]
+    tri_ab, _ = tri_set(lab)
+    tri_cd, _ = tri_set(lcd)
+    R, (rowsB, nfab, NTab), (rowsD, nfcd, NTcd), signs, pref = (
+        _eri_scalar_prelude(ar, ls, pdata, qdata, omega)
+    )
+    EB2 = [rowsB[f * NTab : (f + 1) * NTab] for f in range(nfab)]
+    ED2 = [rowsD[f * NTcd : (f + 1) * NTcd] for f in range(nfcd)]
+    one_shape = ar.hi(pdata["p"]).shape
+
+    def fma(acc, a, b, negate=False):
+        """acc +/- a*b with _ONE/None sentinel handling."""
+        if a is None or b is None:
+            return acc
+        if a is _ONE and b is _ONE:
+            term = ar.const(1.0, one_shape)
+        elif a is _ONE:
+            term = b
+        elif b is _ONE:
+            term = a
+        else:
+            term = ar.mul(a, b)
+        if negate:
+            term = ar.neg(term)
+        return term if acc is None else ar.add(acc, term)
+
+    S = []
+    for itb, tb in enumerate(tri_ab):
+        row = []
+        for fcd in range(nfcd):
+            acc = None
+            for itk, tk in enumerate(tri_cd):
+                e = ED2[fcd][itk]
+                if e is None:
+                    continue
+                r = R[(tb[0] + tk[0], tb[1] + tk[1], tb[2] + tk[2])]
+                acc = fma(acc, e, r, negate=signs[itk] < 0)
+            row.append(acc)
+        S.append(row)
+    g_rows = []
+    for fab in range(nfab):
+        for fcd in range(nfcd):
+            acc = None
+            for itb in range(NTab):
+                acc = fma(acc, EB2[fab][itb], S[itb][fcd])
+            g_rows.append(None if acc is None else ar.mul(acc, pref))
+    return g_rows, nfab, nfcd
+
+
+def cart_eri_primitive_s(ar, ls, pdata, qdata, omega: float = 0.0):
+    """Scalarized cartesian ERI block (T, nfab, nfcd); same contract as
+    ``cart_eri_primitive`` but consuming ``make_pair_data_s`` dicts."""
+    lab, lcd = ls[0] + ls[1], ls[2] + ls[3]
+    nfab_l = len(cart_components(ls[0])) * len(cart_components(ls[1]))
+    nfcd_l = len(cart_components(ls[2])) * len(cart_components(ls[3]))
+    NTab_l = len(tri_set(lab)[0])
+    NTcd_l = len(tri_set(lcd)[0])
+    cost = NTab_l * nfcd_l * NTcd_l + nfab_l * NTab_l * nfcd_l
+    if cost <= _SCALAR_ASM_MAX:
+        # fully scalar assembly: pure (T,) FMA chains, no bmm / stacks
+        # in the inner contraction (best for low-l classes, where the
+        # tiny batched matmuls dominate the stacked path)
+        g_rows, nfab, nfcd = eri_scalar_g_rows(ar, ls, pdata, qdata, omega)
+        return _stack_scalar(ar, g_rows, (nfab, nfcd))
+
+    tri_ab, _ = tri_set(lab)
+    tri_cd, _ = tri_set(lcd)
+    R, (rowsB, nfab, NTab), (rowsD, nfcd, NTcd), signs, pref = (
+        _eri_scalar_prelude(ar, ls, pdata, qdata, omega)
+    )
+    EB = _stack_scalar(ar, rowsB, (nfab, NTab))
+    ED = _stack_scalar(ar, rowsD, (nfcd, NTcd))
+    ED = ar.mul_f32(ED, signs[None, None, :])
+    rows = []
+    for tb in tri_ab:
+        for tk in tri_cd:
+            rows.append(R[(tb[0] + tk[0], tb[1] + tk[1], tb[2] + tk[2])])
+    M = _stack_scalar(ar, rows, (NTab, NTcd))
+    W = ar.bmm(M, _transpose12(ED))  # (T, NTab, nfcd)
+    out = ar.bmm(EB, W)  # (T, nfab, nfcd)
     return ar.mul(out, pref[..., None, None])
 
 
