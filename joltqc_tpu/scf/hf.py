@@ -52,8 +52,26 @@ class RHF:
         self.scf_summary: dict = {}
 
     # ---------------------------------------------------------------- core
+    # one-electron route: the Python-loop numpy oracle is O(minutes) at
+    # ~500 AOs; beyond this shell count S/T/V run on device (scf/int1e.py,
+    # DF64, ~1e-14 relative -- oracle-pinned in tests/test_int1e.py)
+    _INT1E_DEVICE_MIN_SHELLS = 60
+
+    def _int1e_stv(self):
+        """Cached (S, T, V) from the device engine, one pass."""
+        if not hasattr(self, "_stv"):
+            from .int1e import Int1eEngine
+
+            self._int1e_eng = Int1eEngine(self.layout)
+            self._stv = self._int1e_eng.stv()
+        return self._stv
+
     def get_hcore(self):
-        h = intor_np.kinetic(self.mol) + intor_np.nuclear(self.mol)
+        if len(self.mol.shells) >= self._INT1E_DEVICE_MIN_SHELLS:
+            _, t, v = self._int1e_stv()
+            h = t + v
+        else:
+            h = intor_np.kinetic(self.mol) + intor_np.nuclear(self.mol)
         if getattr(self.mol, "ecp", None):
             if not hasattr(self, "_ecp_mat"):
                 from .ecp import ECPEngine
@@ -63,6 +81,8 @@ class RHF:
         return h
 
     def get_ovlp(self):
+        if len(self.mol.shells) >= self._INT1E_DEVICE_MIN_SHELLS:
+            return self._int1e_stv()[0]
         return intor_np.overlap(self.mol)
 
     def get_veff(self, dm):
@@ -103,6 +123,9 @@ class RHF:
         )
         if hasattr(self, "_ecp_mat"):
             del self._ecp_mat
+        for attr in ("_int1e_eng", "_stv"):
+            if hasattr(self, attr):
+                delattr(self, attr)
         self.converged = False
         return self
 
