@@ -110,18 +110,19 @@ def main():
         return _contract_blocks(tier, G, aos, nfs, dm, nao, True, True)
 
     def body_contract(carry, t):
-        jvals, jidx, kvals, kidx = contract_vals(t)
+        jstreams, kstreams = contract_vals(t)
         s = carry
-        for v in jvals + kvals:
+        for _, v, _ in jstreams + kstreams:
             s = s + (jnp.sum(v.hi) if isdf else jnp.sum(v))
         return s, None
 
     def body_full(carry, t):
-        jvals, jidx, kvals, kidx = contract_vals(t)
+        from joltqc_tpu.scf.jk_contracted import _flat
+        jstreams, kstreams = contract_vals(t)
         vj, vk = carry
-        limbs, sexp = scatter_limbs(_cat_vals(list(jvals)), jnp.concatenate(list(jidx)), nao * nao)
+        limbs, sexp = scatter_limbs(_cat_vals([_flat(v) for _, v, _ in jstreams]), jnp.concatenate([i.reshape(-1) for _, _, i in jstreams]), nao * nao)
         vj = df.add(vj, limbs_to_df64(limbs, sexp))
-        limbs, sexp = scatter_limbs(_cat_vals(list(kvals)), jnp.concatenate(list(kidx)), nao * nao)
+        limbs, sexp = scatter_limbs(_cat_vals([_flat(v) for _, v, _ in kstreams]), jnp.concatenate([i.reshape(-1) for _, _, i in kstreams]), nao * nao)
         vk = df.add(vk, limbs_to_df64(limbs, sexp))
         return (vj, vk), None
 

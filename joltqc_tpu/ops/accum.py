@@ -94,6 +94,68 @@ def limbs_to_df64(limbs, sexp) -> DF64:
     return total
 
 
+def block_accumulate(values, rowkey, nrows: int, x_abs_max, nlimb: int = None):
+    """Exact deterministic segment accumulation via int8 MXU matmul.
+
+    ``values``: (T, nf) DF64 or f32; ``rowkey``: (T,) int32 in
+    [0, nrows) (or >= nrows for padding -- routed to a dropped spill
+    row).  Returns a DF64 (nrows, nf) array with
+    ``out[r] = sum_{t: rowkey[t]==r} values[t]`` computed EXACTLY:
+    values are decomposed into 7-bit int8 limbs (error-free peeling,
+    scaled by the rigorous bound ``x_abs_max``), accumulated by an
+    int8 x int8 -> int32 one-hot matmul on the MXU (integer adds:
+    associative, so bit-deterministic), and reassembled in DF64.
+
+    This is the TPU-native replacement for the per-element scatter-add
+    when contributions can be tile-grouped into a SMALL per-chunk row
+    space (scf/jk_contracted.py block-accumulation plan): the reference
+    leans on CUDA atomicAdd for the same job (jk/1q1t.cu:423-643); TPUs
+    have no atomics, and XLA scatter serializes per row -- but the MXU
+    sums 8192-term one-hot products at full throughput.
+
+    Headroom: |limb| <= 127 and the int32 sums must reconvert to f32
+    EXACTLY, so T*127 < 2^24 -> T <= 2^17 tasks per call.
+    """
+    if not isinstance(values, DF64):
+        values = df.from_f32(values)
+        nlimb = 6 if nlimb is None else min(nlimb, 6)
+    if nlimb is None:
+        nlimb = 10  # 70 bits below the bound: beyond the DF64 tier target
+    T = values.hi.shape[0]
+    assert T <= (1 << 17), "exact-f32 reconversion headroom (T*127 < 2^24)"
+
+    e = _exp_of_max(x_abs_max)
+    sexp = jnp.clip(6 - e, -126, 126)  # |x| < 2^6 -> first limb fits int8
+    s = _pow2_exact(sexp)
+    x = df.scale_pow2(values, s)
+
+    planes = []
+    for _ in range(nlimb):
+        limb = jnp.round(x.hi)
+        planes.append(limb.astype(jnp.int8))
+        x = df.add_f32(x, -limb)  # exact: |x.hi - limb| <= 0.5
+        x = df.scale_pow2(x, 128.0)
+    L = jnp.stack(planes, axis=-1).reshape(T, -1)  # (T, nf*nlimb) int8
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nrows + 1, 1), 0)
+    onehot = (rowkey[None, :] == rows).astype(jnp.int8)  # (nrows+1, T)
+    acc = jax.lax.dot_general(
+        onehot, L, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (nrows+1, nf*nlimb) exact integer sums
+    acc = acc[:nrows].reshape(nrows, values.hi.shape[1], nlimb)
+
+    inv_s = _pow2_exact(-sexp)
+    total = None
+    for k in range(nlimb):
+        # int32 (< 2^23) -> exact f32 -> DF64, scaled back by 2^{-7k}/s
+        val = df.from_f32(acc[..., k].astype(jnp.float32))
+        val = df.mul_f32(val, float(2.0 ** (-7 * k)))
+        val = DF64(val.hi * inv_s, val.lo * inv_s)
+        total = val if total is None else df.add(total, val)
+    return total
+
+
 def scatter_add_det(values, idx, size: int, nlimb: int = 5) -> DF64:
     """Deterministic scatter-add: out[idx[n]] += values[n].
 
@@ -113,4 +175,10 @@ def scatter_add_det_2d(values, idx, shape, nlimb: int = 5) -> DF64:
     return DF64(flat.hi.reshape(n, m), flat.lo.reshape(n, m))
 
 
-__all__ = ["scatter_add_det", "scatter_add_det_2d", "scatter_limbs", "limbs_to_df64"]
+__all__ = [
+    "scatter_add_det",
+    "scatter_add_det_2d",
+    "scatter_limbs",
+    "limbs_to_df64",
+    "block_accumulate",
+]

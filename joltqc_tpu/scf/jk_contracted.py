@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..mol.layout import BasisLayout
 from ..ops import df64 as df
-from ..ops.accum import limbs_to_df64, scatter_limbs
+from ..ops.accum import block_accumulate, limbs_to_df64, scatter_limbs
 from ..ops.arith import get_arith
 from ..ops.eri import contracted_eri_batch
 from ..ops.harmonics import cart_components
@@ -53,12 +53,15 @@ def _take(tbl, idx):
 
 
 def _contract_blocks(tier, G, aos, nfs, dm, nao, with_j, with_k):
-    """Density contraction of an ERI block batch -> (vals, idx) pairs.
+    """Density contraction of an ERI block batch -> per-stream values.
 
     G: (T, nfa*nfb, nfc*nfd) (ar-native); aos: (ao_a, ao_b, ao_c, ao_d)
-    int32 (T,); nfs: (nfa, nfb, nfc, nfd).  Returns flattened contribution
-    values + flat nao*nao indices for J (2 groups) and K (4 groups).
-    """
+    int32 (T,); nfs: (nfa, nfb, nfc, nfd).  Returns (jstreams, kstreams):
+    lists of ("xy", vals2d, idx2d) with vals2d (T, nfx*nfy) contribution
+    blocks and idx2d the matching flat nao*nao indices -- J has streams
+    ab/cd, K has ac/ad/bc/bd (the 6 output blocks of one quartet's
+    8-fold orbit; reference: the six atomicAdd targets of
+    jk/1q1t.cu:423-643)."""
     ar = get_arith(tier)
     isdf = tier in ("df64", "fp64")
     ao_a, ao_b, ao_c, ao_d = aos
@@ -85,11 +88,6 @@ def _contract_blocks(tier, G, aos, nfs, dm, nao, with_j, with_k):
             return df.DF64(out.hi[:, :, 0], out.lo[:, :, 0])
         return ar.bmm(mat, vec[..., None])[:, :, 0]
 
-    def flat1(x):
-        if isdf:
-            return df.DF64(x.hi.reshape(-1), x.lo.reshape(-1))
-        return x.reshape(-1)
-
     def t12(x):
         if isdf:
             return df.DF64(x.hi.transpose(0, 2, 1), x.lo.transpose(0, 2, 1))
@@ -106,13 +104,12 @@ def _contract_blocks(tier, G, aos, nfs, dm, nao, with_j, with_k):
     idx_ab = blk_idx(ao_a, nfa, ao_b, nfb)
     idx_cd = blk_idx(ao_c, nfc, ao_d, nfd)
 
-    jvals, jidx, kvals, kidx = (), (), (), ()
+    jstreams, kstreams = [], []
     if with_j:
-        jvals = (
-            flat1(ar.mul_f32(bmv(G, dm_blk(idx_cd)), 2.0)),
-            flat1(ar.mul_f32(bmv(t12(G), dm_blk(idx_ab)), 2.0)),
-        )
-        jidx = (idx_ab.reshape(-1), idx_cd.reshape(-1))
+        jstreams = [
+            ("ab", ar.mul_f32(bmv(G, dm_blk(idx_cd)), 2.0), idx_ab),
+            ("cd", ar.mul_f32(bmv(t12(G), dm_blk(idx_ab)), 2.0), idx_cd),
+        ]
     if with_k:
         shape5 = (T, nfa, nfb, nfc, nfd)
         G4 = (
@@ -124,14 +121,19 @@ def _contract_blocks(tier, G, aos, nfs, dm, nao, with_j, with_k):
         idx_ad = blk_idx(ao_a, nfa, ao_d, nfd)
         idx_bc = blk_idx(ao_b, nfb, ao_c, nfc)
         idx_bd = blk_idx(ao_b, nfb, ao_d, nfd)
-        kvals = (
-            flat1(bmv(perm(G4, (0, 1, 3, 2, 4), nfa * nfc, nfb * nfd), dm_blk(idx_bd))),
-            flat1(bmv(perm(G4, (0, 1, 4, 2, 3), nfa * nfd, nfb * nfc), dm_blk(idx_bc))),
-            flat1(bmv(perm(G4, (0, 2, 3, 1, 4), nfb * nfc, nfa * nfd), dm_blk(idx_ad))),
-            flat1(bmv(perm(G4, (0, 2, 4, 1, 3), nfb * nfd, nfa * nfc), dm_blk(idx_ac))),
-        )
-        kidx = (idx_ac.reshape(-1), idx_ad.reshape(-1), idx_bc.reshape(-1), idx_bd.reshape(-1))
-    return jvals, jidx, kvals, kidx
+        kstreams = [
+            ("ac", bmv(perm(G4, (0, 1, 3, 2, 4), nfa * nfc, nfb * nfd), dm_blk(idx_bd)), idx_ac),
+            ("ad", bmv(perm(G4, (0, 1, 4, 2, 3), nfa * nfd, nfb * nfc), dm_blk(idx_bc)), idx_ad),
+            ("bc", bmv(perm(G4, (0, 2, 3, 1, 4), nfb * nfc, nfa * nfd), dm_blk(idx_ad)), idx_bc),
+            ("bd", bmv(perm(G4, (0, 2, 4, 1, 3), nfb * nfd, nfa * nfc), dm_blk(idx_ac)), idx_bd),
+        ]
+    return jstreams, kstreams
+
+
+def _flat(x):
+    if isinstance(x, df.DF64):
+        return df.DF64(x.hi.reshape(-1), x.lo.reshape(-1))
+    return x.reshape(-1)
 
 
 def _cat_vals(parts):
@@ -144,7 +146,8 @@ def _cat_vals(parts):
 
 
 def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
-                     tables, tasks, dm, vj, vk, bound, axis_name=None):
+                     tables, tasks, dm, vj, vk, bound, axis_name=None,
+                     accum="scatter", nrows=0, tile=8):
     """Traced body of one class scan (shared by the per-class, fused, and
     sharded execution paths).
 
@@ -158,23 +161,84 @@ def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
     is bit-identical to the single-chip result of the same plan.  (A
     pmax-agreed dynamic scale was tried first, but collectives inside a
     ``lax.scan`` body under ``shard_map(check_vma=False)`` mis-executed
-    on the CPU mesh -- the static bound is both safer and cheaper.)"""
+    on the CPU mesh -- the static bound is both safer and cheaper.)
+
+    ``accum='block'`` (tile-grouped plans only): contributions are first
+    segment-reduced over the chunk's (group-slot, tile-row) space by the
+    exact int8 one-hot MXU matmul (ops/accum.py::block_accumulate), and
+    only the reduced BLOCK rows go through the per-element scatter --
+    cutting the serialized scatter rows by the mean tasks-per-block
+    factor.  The per-element scatter is the TPU's weak spot (the
+    reference leans on atomicAdd for these 2.5G adds per Fock build);
+    the MXU matmul is its strength."""
     isdf = tier in ("df64", "fp64")
     nfs = tuple(_nf(l) for l in ls)
 
-    ia, ib, ic, idd, w = tasks
-
-    def _accum(acc, vals, idx):
-        joined = _cat_vals(list(vals))
-        jix = jnp.concatenate(list(idx))
+    def _accum_scatter(acc, streams):
+        joined = _cat_vals([_flat(v) for _, v, _ in streams])
+        jix = jnp.concatenate([i.reshape(-1) for _, _, i in streams])
         limbs, sexp = scatter_limbs(joined, jix, nao * nao, x_abs_max=bound)
+        if axis_name is not None:
+            limbs = jax.lax.psum(limbs, axis_name)
+        return df.add(acc, limbs_to_df64(limbs, sexp))
+
+    def _accum_block(acc, streams, locs, tb4, gs, B):
+        """Tile-reduce each stream, then scatter only block rows."""
+        cidx = {"a": 0, "b": 1, "c": 2, "d": 3}
+        S = tile
+        G_slots = nrows // (S * S)
+        vals_out, idx_out = [], []
+        for xy, vals, _ in streams:
+            x, y = xy
+            jx, jy = locs[cidx[x]], locs[cidx[y]]
+            rowkey = gs * (S * S) + (jx % S) * S + (jy % S)
+            blocks = block_accumulate(vals, rowkey, nrows, x_abs_max=bound)
+            # block row -> flat nao^2 index (spill row nao^2 for pad/
+            # out-of-class rows)
+            nfx = _nf(ls[cidx[x]])
+            nfy = _nf(ls[cidx[y]])
+            ns_x = tables[cidx[x]][3].shape[0] - 1  # real shells (last = pad)
+            ns_y = tables[cidx[y]][3].shape[0] - 1
+            rx = jnp.arange(S, dtype=jnp.int32)
+            ry = jnp.arange(S, dtype=jnp.int32)
+            shx = tb4[:, cidx[x]][:, None] + rx[None, :]  # (G, S)
+            shy = tb4[:, cidx[y]][:, None] + ry[None, :]
+            aox = jnp.take(tables[cidx[x]][3], jnp.minimum(shx, ns_x))
+            aoy = jnp.take(tables[cidx[y]][3], jnp.minimum(shy, ns_y))
+            ok = (shx[:, :, None] < ns_x) & (shy[:, None, :] < ns_y)
+            base = aox[:, :, None] * nao + aoy[:, None, :]  # (G, S, S)
+            base = jnp.where(ok, base, nao * nao)
+            fx = jnp.arange(nfx, dtype=jnp.int32)
+            fy = jnp.arange(nfy, dtype=jnp.int32)
+            idx = (
+                base[:, :, :, None, None]
+                + fx[None, None, None, :, None] * nao
+                + fy[None, None, None, None, :]
+            )
+            # keep the spill row out of real AO space after f offsets
+            idx = jnp.where(
+                base[:, :, :, None, None] >= nao * nao, nao * nao, idx
+            )
+            # blocks: (nrows, nfx*nfy) -> align with (G, S, S, nfx, nfy)
+            vals_out.append(_flat(blocks))
+            idx_out.append(idx.reshape(-1))
+        joined = _cat_vals(vals_out)
+        jix = jnp.concatenate(idx_out)
+        limbs, sexp = scatter_limbs(
+            joined, jix, nao * nao, nlimb=7,
+            x_abs_max=bound * np.float32(B),
+        )
         if axis_name is not None:
             limbs = jax.lax.psum(limbs, axis_name)
         return df.add(acc, limbs_to_df64(limbs, sexp))
 
     def chunk(carry, t):
         vj, vk = carry
-        ja, jb, jc, jd, wc = t
+        if accum == "block":
+            ja, jb, jc, jd, wc, gs, tb4 = t
+        else:
+            ja, jb, jc, jd, wc = t
+            gs = tb4 = None
         geom = {}
         for name, tbl, idx in zip("abcd", tables, (ja, jb, jc, jd)):
             coord, exps, coefs, _ = tbl
@@ -191,16 +255,24 @@ def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
             jnp.take(tbl[3], idx)
             for tbl, idx in zip(tables, (ja, jb, jc, jd))
         )
-        jvals, jidx, kvals, kidx = _contract_blocks(
+        jstreams, kstreams = _contract_blocks(
             tier, G, aos, nfs, dm, nao, with_j, with_k
         )
-        if with_j:
-            vj = _accum(vj, jvals, jidx)
-        if with_k:
-            vk = _accum(vk, kvals, kidx)
+        if accum == "block":
+            locs = (ja, jb, jc, jd)
+            B = ja.shape[0]
+            if with_j:
+                vj = _accum_block(vj, jstreams, locs, tb4, gs, B)
+            if with_k:
+                vk = _accum_block(vk, kstreams, locs, tb4, gs, B)
+        else:
+            if with_j:
+                vj = _accum_scatter(vj, jstreams)
+            if with_k:
+                vk = _accum_scatter(vk, kstreams)
         return (vj, vk), None
 
-    (vj, vk), _ = jax.lax.scan(chunk, (vj, vk), (ia, ib, ic, idd, w))
+    (vj, vk), _ = jax.lax.scan(chunk, (vj, vk), tasks)
     return vj, vk
 
 
@@ -219,13 +291,14 @@ def _fused_scan_fn(sig, nao, with_j, with_k, omega=0.0):
     sig: tuple of (ls, nprims, tier) per entry."""
 
     def fn(tables_list, tasks_list, dm_df, dm_f32, vj, vk, bounds):
-        for (ls, nprims, tier), tbls, tasks, bound in zip(
+        for (ls, nprims, tier, accum, nrows, tile), tbls, tasks, bound in zip(
             sig, tables_list, tasks_list, bounds
         ):
             dm = dm_df if tier in ("df64", "fp64") else dm_f32
             vj, vk = _class_scan_body(
                 ls, nprims, tier, nao, with_j, with_k, omega,
                 tbls, tasks, dm, vj, vk, bound,
+                accum=accum, nrows=nrows, tile=tile,
             )
         return vj, vk
 
@@ -233,12 +306,15 @@ def _fused_scan_fn(sig, nao, with_j, with_k, omega=0.0):
 
 
 @lru_cache(maxsize=None)
-def _class_scan_fn(ls, nprims, tier, nao, with_j, with_k, omega=0.0):
+def _class_scan_fn(ls, nprims, tier, nao, with_j, with_k, omega=0.0,
+                   accum="scatter", nrows=0, tile=8):
     """Jitted Fock-contribution scan for ONE task class (profile path).
 
     Signature: fn(tables, tasks, dm, vj, vk) -> (vj, vk), where
       tables = ((coord, exps, coefs, ao) per center a..d)  [ar-native]
-      tasks  = (i_a, i_b, i_c, i_d, w): (nchunk, B) int32 / f32
+      tasks  = (i_a, i_b, i_c, i_d, w[, gslot, tilebase]):
+               (nchunk, B) int32 / f32 (+ (nchunk, G, 4) tile bases for
+               the block-accumulation plan)
       dm     = (nao, nao) ar-native; vj/vk DF64 (nao*nao,) accumulators.
     """
 
@@ -246,6 +322,7 @@ def _class_scan_fn(ls, nprims, tier, nao, with_j, with_k, omega=0.0):
         return _class_scan_body(
             ls, nprims, tier, nao, with_j, with_k, omega,
             tables, tasks, dm, vj, vk, bound,
+            accum=accum, nrows=nrows, tile=tile,
         )
 
     return jax.jit(fn, donate_argnums=(3, 4))
@@ -320,11 +397,23 @@ class JKEngine:
         cutoff_fp64: float = 1e-6,
         mesh=None,
         merge_nprim: bool | None = None,
+        accum: str = "scatter",
+        tile: int = 8,
     ):
         self.layout = layout
         self.nao = layout.nao_int
         self.cutoff_fp32 = cutoff_fp32
         self.cutoff_fp64 = cutoff_fp64
+        # Fock accumulation strategy: "scatter" = per-element int32-limb
+        # scatter-add; "block" = tile-grouped exact int8 MXU reduction
+        # first, then a block-row scatter (ops/accum.py::block_accumulate)
+        # -- the per-element scatter serializes on TPU and dominates large
+        # Fock builds.  "block" requires no mesh (sharded path keeps
+        # scatter).  ``tile`` = shell-tile edge S (rows per block = S^2).
+        if accum == "block" and mesh is not None:
+            raise ValueError("block accumulation not yet wired for meshes")
+        self.accum = accum
+        self.tile = tile
         # multi-chip: a jax.sharding.Mesh with a "tasks" axis; task batches
         # are sharded over it and limb scatters psum'd exactly, so the
         # sharded get_jk is bit-identical to the single-chip one
@@ -508,11 +597,56 @@ class JKEngine:
                     nchunk_req = -(-n // B)
                     nchunk_pow2 = 1 << int(np.ceil(np.log2(max(nchunk_req, 1))))
                     npad = nchunk_pow2 * B - n
+                    ia0 = p1.i_loc[s1]
+                    ib0 = p1.j_loc[s1]
+                    ic0 = p2.i_loc[s2]
+                    id0 = p2.j_loc[s2]
+                    accum, extra = "scatter", None
+                    if self.accum == "block":
+                        # tile-group tasks: 4D shell-tile key, stable sort
+                        # (reference contrast: atomicAdd needs no order;
+                        # the TPU block accumulator wants tile locality)
+                        S = self.tile
+                        nt = [-(-x.nshell // S) + 1 for x in c]
+                        key = (((ia0.astype(np.int64) // S) * nt[1]
+                                + ib0 // S) * nt[2] + ic0 // S) * nt[3] + id0 // S
+                        order = np.argsort(key, kind="stable")
+                        ia0, ib0, ic0, id0 = (
+                            ia0[order], ib0[order], ic0[order], id0[order]
+                        )
+                        sw = sw[order]
+                        key = key[order]
+                        keyp = np.concatenate(
+                            [key, np.full(npad, key[-1] + 1 if n else 0,
+                                          np.int64)]
+                        ).reshape(-1, B)
+                        chg = np.ones_like(keyp, bool)
+                        chg[:, 1:] = keyp[:, 1:] != keyp[:, :-1]
+                        gslot = np.cumsum(chg, axis=1).astype(np.int32) - 1
+                        gmax = int(gslot.max()) + 1
+                        G = 1 << int(np.ceil(np.log2(max(gmax, 1))))
+                        if G * S * S <= 4 * B:
+                            accum = "block"
+                            nchunkp = keyp.shape[0]
+                            tb4 = np.full((nchunkp, G, 4), 1 << 28, np.int32)
+                            rows, cols = np.nonzero(chg)
+                            slots = gslot[rows, cols]
+                            for d, arr in enumerate((ia0, ib0, ic0, id0)):
+                                arrp = np.concatenate(
+                                    [arr, np.full(npad, c[d].nshell, np.int32)]
+                                ).reshape(nchunkp, B)
+                                tb4[rows, slots, d] = (
+                                    arrp[rows, cols] // S
+                                ) * S
+                            extra = (
+                                jnp.asarray(gslot),
+                                jnp.asarray(tb4),
+                            )
                     # pad tasks point at each class's zero-coef pad shell
-                    ia = np.concatenate([p1.i_loc[s1], np.full(npad, c[0].nshell, np.int32)])
-                    ib = np.concatenate([p1.j_loc[s1], np.full(npad, c[1].nshell, np.int32)])
-                    ic = np.concatenate([p2.i_loc[s2], np.full(npad, c[2].nshell, np.int32)])
-                    idd = np.concatenate([p2.j_loc[s2], np.full(npad, c[3].nshell, np.int32)])
+                    ia = np.concatenate([ia0, np.full(npad, c[0].nshell, np.int32)])
+                    ib = np.concatenate([ib0, np.full(npad, c[1].nshell, np.int32)])
+                    ic = np.concatenate([ic0, np.full(npad, c[2].nshell, np.int32)])
+                    idd = np.concatenate([id0, np.full(npad, c[3].nshell, np.int32)])
                     ww = np.concatenate([sw, np.zeros(npad)])
                     nchunk = len(ia) // B
                     tasks = tuple(
@@ -523,11 +657,16 @@ class JKEngine:
                             (ww, jnp.float32),
                         )
                     )
+                    nrows = 0
+                    if accum == "block":
+                        tasks = tasks + extra
+                        nrows = G * self.tile * self.tile
                     plan.append(
                         dict(
                             ls=ls, nprims=nprims, tier=tier, ntasks=n,
                             cls_idx=(p1.ci, p1.cj, p2.ci, p2.cj), tasks=tasks,
-                            bound=jnp.asarray(bound),
+                            bound=jnp.asarray(bound), accum=accum,
+                            nrows=nrows,
                         )
                     )
         self.plan_stats = stats
@@ -602,7 +741,8 @@ class JKEngine:
                 else:
                     fn = _class_scan_fn(
                         entry["ls"], entry["nprims"], tier, nao, with_j,
-                        with_k, omega,
+                        with_k, omega, accum=entry.get("accum", "scatter"),
+                        nrows=entry.get("nrows", 0), tile=self.tile,
                     )
                 vj, vk = fn(
                     tbls, entry["tasks"],
@@ -623,7 +763,9 @@ class JKEngine:
             for g in range(0, len(plan), G):
                 group = plan[g : g + G]
                 sig = tuple(
-                    (e["ls"], e["nprims"], e["tier"]) for e in group
+                    (e["ls"], e["nprims"], e["tier"],
+                     e.get("accum", "scatter"), e.get("nrows", 0), self.tile)
+                    for e in group
                 )
                 tables_list = tuple(
                     tuple(self._tables(e["tier"])[k] for k in e["cls_idx"])

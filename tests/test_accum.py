@@ -54,3 +54,35 @@ def test_f32_input_tier():
     ref = np.zeros(8)
     np.add.at(ref, idx, vals.astype(np.float64))
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_block_accumulate_exact():
+    import numpy as np
+    from joltqc_tpu.ops import df64 as df
+    from joltqc_tpu.ops.accum import block_accumulate
+
+    rng = np.random.default_rng(3)
+    T, nf, nrows = 1024, 5, 16
+    vals = rng.standard_normal((T, nf)) * np.exp(rng.uniform(-20, 3, (T, nf)))
+    keys = rng.integers(0, nrows + 2, T).astype(np.int32)  # incl. pad rows
+    out = block_accumulate(
+        df.from_f64(vals), keys, nrows, np.float32(np.abs(vals).max() * 2)
+    )
+    got = np.asarray(df.to_f64(out))
+    ref = np.zeros((nrows, nf))
+    for t in range(T):
+        if keys[t] < nrows:
+            ref[keys[t]] += vals[t]
+    scale = np.abs(vals).max()
+    assert np.abs(got - ref).max() < 1e-13 * scale
+    # f32 input path
+    out32 = block_accumulate(
+        np.asarray(vals, np.float32), keys, nrows,
+        np.float32(np.abs(vals).max() * 2),
+    )
+    got32 = np.asarray(df.to_f64(out32))
+    ref32 = np.zeros((nrows, nf))
+    for t in range(T):
+        if keys[t] < nrows:
+            ref32[keys[t]] += np.float64(np.float32(vals[t].astype(np.float32)))
+    assert np.abs(got32 - ref32).max() < 1e-9 * scale

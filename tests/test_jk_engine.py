@@ -142,3 +142,25 @@ def test_rhf_h2o_631g():
     assert mf.converged
     # all-float64 oracle value for this geometry
     assert abs(e - (-75.9839484981)) < 1e-6, e
+
+
+def test_jk_block_accumulation_matches_scatter():
+    """Tile-grouped MXU block accumulation == per-element scatter path.
+
+    Both accumulate exactly (error-free limb decompositions + integer
+    adds), so they must agree to DF64 reassembly precision; each path is
+    individually deterministic (bitwise-stable across runs)."""
+    mol = Molecule.from_atom_string(H2O, basis="6-31g")
+    dm = _rand_sym_dm(mol.nao, seed=5)
+    lay = BasisLayout(mol)
+    eng_s = JKEngine(lay, cutoff_fp32=1e-14, cutoff_fp64=1e-7)
+    eng_b = JKEngine(lay, cutoff_fp32=1e-14, cutoff_fp64=1e-7,
+                     accum="block", tile=4)
+    vj_s, vk_s = eng_s.get_jk(dm)
+    vj_b, vk_b = eng_b.get_jk(dm)
+    assert any(e.get("accum") == "block" for e in eng_b._plan)
+    scale = max(np.abs(vj_s).max(), 1.0)
+    assert np.abs(vj_b - vj_s).max() < 1e-11 * scale
+    assert np.abs(vk_b - vk_s).max() < 1e-11 * scale
+    vj_b2, vk_b2 = eng_b.get_jk(dm)
+    assert np.array_equal(vj_b, vj_b2) and np.array_equal(vk_b, vk_b2)
