@@ -12,16 +12,21 @@ Two precision tiers:
  - ``boys_f32``: plain float32, ~1e-6, for the FP32 task tier.
 
 Algorithm (both tiers):
- - x <= 35: Kummer series at m_max,
+ - x <= switch: Kummer series at m_max,
       F_m(x) = e^{-x} * sum_{i>=0} (2x)^i / ((2m+1)(2m+3)...(2m+2i+1)),
    followed by stable downward recursion
       F_{m-1}(x) = (2x F_m(x) + e^{-x}) / (2m-1).
- - x > switch: F_0(x) = sqrt(pi/(4x)) (erf term == 1 to DF64 for x>35) and
-   upward recursion F_{m+1} = ((2m+1) F_m - e^{-x}) / (2x).  The e^{-x}
-   term is KEPT: for larger m, F_m(x) decays toward e^{-x} scale and
-   dropping it costs ~1e-9 relative near the switch.  The switch point
-   grows with mmax (2*mmax + 5, min 35) to keep the subtraction
-   cancellation-free.
+ - x > switch: F_0(x) = sqrt(pi/(4x)) erf(sqrt x), with erf evaluated in
+   DF64 through the Laplace continued fraction for erfc,
+      erfc(t) = e^{-t^2}/sqrt(pi) / (t + (1/2)/(t + 1/(t + (3/2)/(...)))),
+   and upward recursion F_{m+1} = ((2m+1) F_m - e^{-x}) / (2x).  The
+   e^{-x} term is KEPT: for larger m, F_m(x) decays toward e^{-x} scale
+   and dropping it costs ~1e-9 relative near the switch.  The switch
+   point is max(12, 2*mmax + 5): the mmax term keeps the upward
+   subtraction cancellation-free; the DF64-erfc branch frees the switch
+   from erf saturation (x > 35), so the series -- the dominant op count
+   of the whole DF64 ERI chain -- shrinks from ~160 to ~55 terms for the
+   low-L classes that carry most primitive-quartet work.
 """
 
 from __future__ import annotations
@@ -40,7 +45,12 @@ _SQRT_PI_OVER_2 = math.sqrt(math.pi) / 2.0
 
 
 def _switch_point(mmax: int) -> float:
-    return max(_X_SWITCH, 2.0 * mmax + 5.0)
+    return max(12.0, 2.0 * mmax + 5.0)
+
+
+# continued-fraction depth for the DF64 erfc branch (validated in
+# tests/test_boys.py to 5e-13 relative down to the x = 12 switch)
+_ERFC_CF_LEVELS = 24
 
 
 def boys_df64(mmax: int, x: df.DF64, nseries: int | None = None):
@@ -52,7 +62,7 @@ def boys_df64(mmax: int, x: df.DF64, nseries: int | None = None):
     if nseries is None:
         # tail of the series behaves like (2x/(2x+2i))^i; this bound gives
         # < 1e-16 truncation at x = switch
-        nseries = int(2 * switch) + 90
+        nseries = int(2 * switch) + 30
     xs = df.where(x.hi <= switch, x, df.const(switch, x.hi.shape))
     emx = df.exp(df.neg(xs))  # e^{-x} for the series branch (clamped)
     two_x = df.scale_pow2(xs, 2.0)
@@ -102,11 +112,24 @@ def boys_df64(mmax: int, x: df.DF64, nseries: int | None = None):
         num = df.add(df.mul(two_x, fs_small[m]), emx)
         fs_small[m - 1] = df.mul(num, df.const(1.0 / (2 * m - 1), x.hi.shape))
 
-    # --- asymptotic branch: F_0 = sqrt(pi)/2 * x^{-1/2}, upward with e^{-x} ---
+    # --- large branch: F_0 = sqrt(pi/4x) erf(sqrt x), upward with e^{-x} ---
     xl = df.where(x.hi > switch, x, df.const(switch, x.hi.shape))
     emx_l = df.exp(df.neg(xl))  # tiny but kept: matters for F_m at larger m
     inv_x = df.recip(xl)
-    f0_large = df.mul(df.const(_SQRT_PI_OVER_2, x.hi.shape), df.sqrt(inv_x))
+    # erf(sqrt x) = 1 - e^{-x}/sqrt(pi) * CF(sqrt x); no cancellation
+    # (the subtracted term is <= erfc(sqrt 12) ~ 1e-6)
+    t = df.sqrt(xl)
+    cf = df.const(0.0, x.hi.shape)
+    for k in range(_ERFC_CF_LEVELS, 0, -1):
+        cf = df.div(df.const(0.5 * k, x.hi.shape), df.add(t, cf))
+    kval = df.recip(df.add(t, cf))
+    erf = df.sub(
+        df.const(1.0, x.hi.shape),
+        df.mul(df.mul(emx_l, kval), df.const(1.0 / math.sqrt(math.pi), x.hi.shape)),
+    )
+    f0_large = df.mul(
+        df.mul(df.const(_SQRT_PI_OVER_2, x.hi.shape), df.sqrt(inv_x)), erf
+    )
     inv_2x = df.scale_pow2(inv_x, 0.5)
     fs_large = [None] * (mmax + 1)
     fs_large[0] = f0_large

@@ -44,6 +44,20 @@ def test_boys_df64():
         assert rel.max() < 5e-13, (m, x[np.argmax(rel)], rel.max())
 
 
+def test_boys_df64_small_mmax_switches():
+    # the series/erfc-CF switch point depends on mmax (max(12, 2m+5));
+    # cover the low-L switches the hot ERI classes actually use,
+    # with extra density around each switch region
+    x = np.concatenate([_grid(), np.linspace(8, 30, 221)])
+    for mmax in (0, 2, 4, 8):
+        fs = jax.jit(lambda d, m=mmax: boys_df64(m, d))(df.from_f64(x))
+        for m in range(mmax + 1):
+            got = df.to_f64(fs[m])
+            ref = boys_ref(m, x)
+            rel = np.abs(got - ref) / ref
+            assert rel.max() < 5e-13, (mmax, m, x[np.argmax(rel)], rel.max())
+
+
 def test_boys_f32():
     x = _grid()
     fs = np.asarray(jax.jit(lambda d: boys_f32(MMAX, d))(x.astype(np.float32)))
