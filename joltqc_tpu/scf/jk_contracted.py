@@ -188,11 +188,21 @@ def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
         S = tile
         G_slots = nrows // (S * S)
         vals_out, idx_out = [], []
+        T = locs[0].shape[0]
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and T % 128 == 0
+            and T * 127 < (1 << 24)
+        )
+        if use_pallas:
+            from ..ops.accum_pallas import block_accumulate_pallas as _ba
+        else:
+            _ba = block_accumulate
         for xy, vals, _ in streams:
             x, y = xy
             jx, jy = locs[cidx[x]], locs[cidx[y]]
             rowkey = gs * (S * S) + (jx % S) * S + (jy % S)
-            blocks = block_accumulate(vals, rowkey, nrows, x_abs_max=bound)
+            blocks = _ba(vals, rowkey, nrows, x_abs_max=bound)
             # block row -> flat nao^2 index (spill row nao^2 for pad/
             # out-of-class rows)
             nfx = _nf(ls[cidx[x]])

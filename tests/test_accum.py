@@ -86,3 +86,31 @@ def test_block_accumulate_exact():
         if keys[t] < nrows:
             ref32[keys[t]] += np.float64(np.float32(vals[t].astype(np.float32)))
     assert np.abs(got32 - ref32).max() < 1e-9 * scale
+
+
+def test_block_accumulate_pallas_matches_xla():
+    import numpy as np
+    from joltqc_tpu.ops import df64 as df
+    from joltqc_tpu.ops.accum import block_accumulate
+    from joltqc_tpu.ops.accum_pallas import block_accumulate_pallas
+
+    rng = np.random.default_rng(9)
+    T, nf, nrows = 256, 3, 32
+    vals = rng.standard_normal((T, nf)) * np.exp(rng.uniform(-15, 2, (T, nf)))
+    keys = rng.integers(0, nrows + 3, T).astype(np.int32)
+    mx = np.float32(np.abs(vals).max() * 2)
+    ref = np.asarray(df.to_f64(block_accumulate(df.from_f64(vals), keys, nrows, mx)))
+    got = np.asarray(
+        df.to_f64(block_accumulate_pallas(df.from_f64(vals), keys, nrows, mx))
+    )
+    assert np.abs(got - ref).max() < 1e-13 * np.abs(vals).max()
+    # f32 input path
+    ref32 = np.asarray(
+        df.to_f64(block_accumulate(np.asarray(vals, np.float32), keys, nrows, mx))
+    )
+    got32 = np.asarray(
+        df.to_f64(
+            block_accumulate_pallas(np.asarray(vals, np.float32), keys, nrows, mx)
+        )
+    )
+    assert np.abs(got32 - ref32).max() < 1e-9 * np.abs(vals).max()
