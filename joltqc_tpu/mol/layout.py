@@ -162,5 +162,17 @@ class BasisLayout:
         rows = np.maximum.reduceat(ad, starts, axis=0)
         return np.maximum.reduceat(rows, starts, axis=1)
 
+    def dm_cond_l2(self, dm_int: np.ndarray) -> np.ndarray:
+        """Shell-block L2-norm pooling (nbas, nbas).
+
+        Reference: l2_block_pooling
+        (/root/reference/jqc/backend/linalg_helper.py:214 -- unused by
+        the reference main path; kept for inventory/screening-research
+        parity).  sqrt(sum_{block} dm^2) per shell block."""
+        sq = np.square(np.asarray(dm_int, np.float64))
+        starts = self.ao_loc_int[:-1]
+        rows = np.add.reduceat(sq, starts, axis=0)
+        return np.sqrt(np.add.reduceat(rows, starts, axis=1))
+
 
 __all__ = ["BasisLayout", "PrimPairBlock"]

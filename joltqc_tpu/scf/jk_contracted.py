@@ -52,7 +52,7 @@ def _take(tbl, idx):
     return jnp.take(tbl, idx, axis=0)
 
 
-def _contract_blocks(tier, G, aos, nfs, dm, nao, with_j, with_k):
+def _contract_blocks(tier, G, aos, nfs, dm, nao, with_j, with_k, off=0):
     """Density contraction of an ERI block batch -> per-stream values.
 
     G: (T, nfa*nfb, nfc*nfd) (ar-native); aos: (ao_a, ao_b, ao_c, ao_d)
@@ -61,7 +61,12 @@ def _contract_blocks(tier, G, aos, nfs, dm, nao, with_j, with_k):
     blocks and idx2d the matching flat nao*nao indices -- J has streams
     ab/cd, K has ac/ad/bc/bd (the 6 output blocks of one quartet's
     8-fold orbit; reference: the six atomicAdd targets of
-    jk/1q1t.cu:423-643)."""
+    jk/1q1t.cu:423-643).
+
+    ``off``: flat element offset of one density in a stacked multi-dm
+    batch (dm gathers and output indices both shift by off = d*nao^2);
+    the ERI block G is computed once and contracted with every dm
+    (reference: the n_dm kernel template arg, backend/jk_1qnt.py)."""
     ar = get_arith(tier)
     isdf = tier in ("df64", "fp64")
     ao_a, ao_b, ao_c, ao_d = aos
@@ -101,8 +106,8 @@ def _contract_blocks(tier, G, aos, nfs, dm, nao, with_j, with_k):
             )
         return x4.transpose(axes).reshape(T, m, n)
 
-    idx_ab = blk_idx(ao_a, nfa, ao_b, nfb)
-    idx_cd = blk_idx(ao_c, nfc, ao_d, nfd)
+    idx_ab = blk_idx(ao_a, nfa, ao_b, nfb) + off
+    idx_cd = blk_idx(ao_c, nfc, ao_d, nfd) + off
 
     jstreams, kstreams = [], []
     if with_j:
@@ -117,10 +122,10 @@ def _contract_blocks(tier, G, aos, nfs, dm, nao, with_j, with_k):
             if isdf
             else G.reshape(shape5)
         )
-        idx_ac = blk_idx(ao_a, nfa, ao_c, nfc)
-        idx_ad = blk_idx(ao_a, nfa, ao_d, nfd)
-        idx_bc = blk_idx(ao_b, nfb, ao_c, nfc)
-        idx_bd = blk_idx(ao_b, nfb, ao_d, nfd)
+        idx_ac = blk_idx(ao_a, nfa, ao_c, nfc) + off
+        idx_ad = blk_idx(ao_a, nfa, ao_d, nfd) + off
+        idx_bc = blk_idx(ao_b, nfb, ao_c, nfc) + off
+        idx_bd = blk_idx(ao_b, nfb, ao_d, nfd) + off
         kstreams = [
             ("ac", bmv(perm(G4, (0, 1, 3, 2, 4), nfa * nfc, nfb * nfd), dm_blk(idx_bd)), idx_ac),
             ("ad", bmv(perm(G4, (0, 1, 4, 2, 3), nfa * nfd, nfb * nfc), dm_blk(idx_bc)), idx_ad),
@@ -147,7 +152,7 @@ def _cat_vals(parts):
 
 def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
                      tables, tasks, dm, vj, vk, bound, axis_name=None,
-                     accum="scatter", nrows=0, tile=8):
+                     accum="scatter", nrows=0, tile=8, n_dm=1):
     """Traced body of one class scan (shared by the per-class, fused, and
     sharded execution paths).
 
@@ -172,12 +177,15 @@ def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
     reference leans on atomicAdd for these 2.5G adds per Fock build);
     the MXU matmul is its strength."""
     isdf = tier in ("df64", "fp64")
+    assert not (accum == "block" and n_dm > 1)  # driver loops dms instead
     nfs = tuple(_nf(l) for l in ls)
 
     def _accum_scatter(acc, streams):
         joined = _cat_vals([_flat(v) for _, v, _ in streams])
         jix = jnp.concatenate([i.reshape(-1) for _, _, i in streams])
-        limbs, sexp = scatter_limbs(joined, jix, nao * nao, x_abs_max=bound)
+        limbs, sexp = scatter_limbs(
+            joined, jix, n_dm * nao * nao, x_abs_max=bound
+        )
         if axis_name is not None:
             limbs = jax.lax.psum(limbs, axis_name)
         return df.add(acc, limbs_to_df64(limbs, sexp))
@@ -265,9 +273,16 @@ def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
             jnp.take(tbl[3], idx)
             for tbl, idx in zip(tables, (ja, jb, jc, jd))
         )
-        jstreams, kstreams = _contract_blocks(
-            tier, G, aos, nfs, dm, nao, with_j, with_k
-        )
+        # one ERI evaluation, n_dm contractions (reference: n_dm compiled
+        # into the kernel, backend/jk_1qnt.py n_dm template arg)
+        jstreams, kstreams = [], []
+        for d in range(n_dm):
+            js, ks = _contract_blocks(
+                tier, G, aos, nfs, dm, nao, with_j, with_k,
+                off=d * nao * nao,
+            )
+            jstreams += js
+            kstreams += ks
         if accum == "block":
             locs = (ja, jb, jc, jd)
             B = ja.shape[0]
@@ -287,7 +302,7 @@ def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
 
 
 @lru_cache(maxsize=None)
-def _fused_scan_fn(sig, nao, with_j, with_k, omega=0.0):
+def _fused_scan_fn(sig, nao, with_j, with_k, omega=0.0, n_dm=1):
     """One jitted launch executing MANY class scans.
 
     The per-class profile run showed each separate launch costs ~4 ms of
@@ -308,7 +323,7 @@ def _fused_scan_fn(sig, nao, with_j, with_k, omega=0.0):
             vj, vk = _class_scan_body(
                 ls, nprims, tier, nao, with_j, with_k, omega,
                 tbls, tasks, dm, vj, vk, bound,
-                accum=accum, nrows=nrows, tile=tile,
+                accum=accum, nrows=nrows, tile=tile, n_dm=n_dm,
             )
         return vj, vk
 
@@ -317,7 +332,7 @@ def _fused_scan_fn(sig, nao, with_j, with_k, omega=0.0):
 
 @lru_cache(maxsize=None)
 def _class_scan_fn(ls, nprims, tier, nao, with_j, with_k, omega=0.0,
-                   accum="scatter", nrows=0, tile=8):
+                   accum="scatter", nrows=0, tile=8, n_dm=1):
     """Jitted Fock-contribution scan for ONE task class (profile path).
 
     Signature: fn(tables, tasks, dm, vj, vk) -> (vj, vk), where
@@ -332,7 +347,7 @@ def _class_scan_fn(ls, nprims, tier, nao, with_j, with_k, omega=0.0,
         return _class_scan_body(
             ls, nprims, tier, nao, with_j, with_k, omega,
             tables, tasks, dm, vj, vk, bound,
-            accum=accum, nrows=nrows, tile=tile,
+            accum=accum, nrows=nrows, tile=tile, n_dm=n_dm,
         )
 
     return jax.jit(fn, donate_argnums=(3, 4))
@@ -340,7 +355,7 @@ def _class_scan_fn(ls, nprims, tier, nao, with_j, with_k, omega=0.0,
 
 @lru_cache(maxsize=None)
 def _sharded_class_scan_fn(mesh, ls, nprims, tier, nao, with_j, with_k,
-                           omega=0.0):
+                           omega=0.0, n_dm=1):
     """Multi-chip variant of ``_class_scan_fn``: the task chunks (axis 1,
     the within-chunk batch) are sharded over the mesh's ``tasks`` axis;
     dm / tables / accumulators are replicated; the per-chunk int32 limb
@@ -359,6 +374,7 @@ def _sharded_class_scan_fn(mesh, ls, nprims, tier, nao, with_j, with_k,
         return _class_scan_body(
             ls, nprims, tier, nao, with_j, with_k, omega,
             tables, tasks, dm, vj, vk, bound, axis_name="tasks",
+            n_dm=n_dm,
         )
 
     sharded = _shard_map(
@@ -545,41 +561,78 @@ class JKEngine:
                 p2 = self.pair_classes[p2i]
                 self._ensure_q(p2)
                 same = p1i == p2i
-                t1, t2, w, tier64 = build_quartet_tasks(p1, p2, same, log32, log64)
-                if len(t1) == 0:
-                    continue
                 c = [self.classes[k] for k in (p1.ci, p1.cj, p2.ci, p2.cj)]
                 ls = tuple(x.l for x in c)
                 nprims = tuple(x.nprim for x in c)
-                if refine:
-                    stats["cand"] += len(t1)
-                    stats["cand64"] += int(tier64.sum())
-                    q1 = self._ensure_q(p1, omega)
-                    q2 = self._ensure_q(p2, omega)
-                    qsum = q1[t1] + q2[t2]
-                    if dm_cond_log is not None:
-                        D = dm_cond_log
-                        i = c[0].shell_ids[p1.i_loc[t1]]
-                        j = c[1].shell_ids[p1.j_loc[t1]]
-                        k = c[2].shell_ids[p2.i_loc[t2]]
-                        ll = c[3].shell_ids[p2.j_loc[t2]]
-                        dmx = np.maximum.reduce(
-                            [D[i, j], D[k, ll], D[i, k], D[i, ll],
-                             D[j, k], D[j, ll]]
-                        )
-                    else:
-                        dmx = np.full(len(t1), logdm, np.float32)
-                    dq = qsum + dmx
-                    keep = dq > log32_abs
-                    t1, t2, w = t1[keep], t2[keep], w[keep]
-                    dq = dq[keep]
-                    tier64 = dq > log64_abs
+                tier_data = None  # [(tier, t1, t2, w, dqmax)]
+                if refine and dm_cond_log is not None:
+                    # fused native screen (candidate generation + six-block
+                    # density refinement + tier routing in one C++ pass;
+                    # joltqc_tpu/native/screen.cpp -- the host analogue of
+                    # the reference's screen_jk_tasks.cu)
+                    from ..native import screen_tasks_native
+
+                    q1o = self._ensure_q(p1, omega)
+                    q2o = self._ensure_q(p2, omega)
+                    res = screen_tasks_native(
+                        p1.q_log, p2.q_log, q1o, q2o,
+                        c[0].shell_ids[p1.i_loc], c[1].shell_ids[p1.j_loc],
+                        c[2].shell_ids[p2.i_loc], c[3].shell_ids[p2.j_loc],
+                        p1.diag, p2.diag, dm_cond_log, same,
+                        log32, log64, log32_abs, log64_abs,
+                    )
+                    if res is not None:
+                        f32t, df64t, cand, cand64 = res
+                        stats["cand"] += cand
+                        stats["cand64"] += cand64
+                        tier_data = [
+                            ("df64",) + df64t, ("f32",) + f32t,
+                        ]
+                if tier_data is None:
+                    t1, t2, w, tier64 = build_quartet_tasks(
+                        p1, p2, same, log32, log64
+                    )
                     if len(t1) == 0:
                         continue
-                else:
-                    dq = p1.q_log[t1] + p2.q_log[t2] + logdm
-                stats["ntasks"] += len(t1)
-                stats["n64"] += int(tier64.sum())
+                    if refine:
+                        stats["cand"] += len(t1)
+                        stats["cand64"] += int(tier64.sum())
+                        q1 = self._ensure_q(p1, omega)
+                        q2 = self._ensure_q(p2, omega)
+                        qsum = q1[t1] + q2[t2]
+                        if dm_cond_log is not None:
+                            D = dm_cond_log
+                            i = c[0].shell_ids[p1.i_loc[t1]]
+                            j = c[1].shell_ids[p1.j_loc[t1]]
+                            k = c[2].shell_ids[p2.i_loc[t2]]
+                            ll = c[3].shell_ids[p2.j_loc[t2]]
+                            dmx = np.maximum.reduce(
+                                [D[i, j], D[k, ll], D[i, k], D[i, ll],
+                                 D[j, k], D[j, ll]]
+                            )
+                        else:
+                            dmx = np.full(len(t1), logdm, np.float32)
+                        dq = qsum + dmx
+                        keep = dq > log32_abs
+                        t1, t2, w = t1[keep], t2[keep], w[keep]
+                        dq = dq[keep]
+                        tier64 = dq > log64_abs
+                    else:
+                        dq = p1.q_log[t1] + p2.q_log[t2] + logdm
+                    tier_data = []
+                    for tier, sel in (("df64", tier64), ("f32", ~tier64)):
+                        if int(sel.sum()):
+                            tier_data.append(
+                                (tier, t1[sel], t2[sel], w[sel],
+                                 float(dq[sel].max()))
+                            )
+                ntot = sum(len(td[1]) for td in tier_data)
+                if ntot == 0:
+                    continue
+                stats["ntasks"] += ntot
+                stats["n64"] += sum(
+                    len(td[1]) for td in tier_data if td[0] == "df64"
+                )
                 # static limb-scale bound for the scatter accumulation:
                 # |contribution| <= 2 * nf_sum * exp(q_ij+q_kl+dm_block)
                 # (2: the vj double-count factor; nf_sum: the densest
@@ -590,17 +643,16 @@ class JKEngine:
                     nf[0] * nf[1], nf[2] * nf[3], nf[0] * nf[2],
                     nf[0] * nf[3], nf[1] * nf[2], nf[1] * nf[3],
                 )
-                for tier, sel in (("df64", tier64), ("f32", ~tier64)):
-                    n = int(sel.sum())
+                for tier, s1, s2, sw, dmax in tier_data:
+                    n = len(s1)
                     if n == 0:
                         continue
-                    bound_log = float(dq[sel].max()) + np.log(2.0 * nf_sum) + 0.5
+                    bound_log = dmax + np.log(2.0 * nf_sum) + 0.5
                     bound = np.float32(np.exp(min(bound_log, 80.0)))
                     B = _chunk_size(ls, n, nprims=nprims, tier=tier)
                     if self._ndev > 1:
                         # within-chunk batch is sharded over the mesh
                         B = -(-B // self._ndev) * self._ndev
-                    s1, s2, sw = t1[sel], t2[sel], w[sel]
                     # pow2-bucket the chunk count so plans rebuilt at
                     # different density bounds (incremental direct SCF)
                     # reuse the same compiled shapes
@@ -694,12 +746,18 @@ class JKEngine:
         import time as _time
 
         nao = self.nao
+        n_dm = 1 if dm_int.ndim == 2 else int(dm_int.shape[0])
         # per-shell-block density bounds (reference: max_block_pooling +
         # per-element q_ij+q_kl+max(dm) screening) with a 0.7 log-unit
         # reuse margin; plans are rebuilt only when some block outgrows
         # its margin (density shrinks toward convergence, so this is rare)
         if cond is None:
-            cond = self.layout.dm_cond(dm_int)
+            if n_dm == 1:
+                cond = self.layout.dm_cond(dm_int)
+            else:
+                cond = np.maximum.reduce(
+                    [self.layout.dm_cond(d) for d in dm_int]
+                )
         D = np.log(np.maximum(cond, 1e-30)).astype(np.float32)
         logdm = float(D.max())
         okey = float(omega or 0.0)
@@ -733,8 +791,8 @@ class JKEngine:
         dm_df = df.from_f64(dm_int)
         dm_f32 = jnp.asarray(dm_int, jnp.float32)
 
-        vj = df.const(0.0, (nao * nao,))
-        vk = df.const(0.0, (nao * nao,))
+        vj = df.const(0.0, (n_dm * nao * nao,))
+        vk = df.const(0.0, (n_dm * nao * nao,))
         if self.profile or not self.fuse_group or self.mesh is not None:
             # per-class launches (async pipeline); profile=True adds a
             # sync per class for accurate attribution
@@ -746,13 +804,14 @@ class JKEngine:
                 if self.mesh is not None:
                     fn = _sharded_class_scan_fn(
                         self.mesh, entry["ls"], entry["nprims"], tier, nao,
-                        with_j, with_k, omega,
+                        with_j, with_k, omega, n_dm=n_dm,
                     )
                 else:
                     fn = _class_scan_fn(
                         entry["ls"], entry["nprims"], tier, nao, with_j,
                         with_k, omega, accum=entry.get("accum", "scatter"),
                         nrows=entry.get("nrows", 0), tile=self.tile,
+                        n_dm=n_dm,
                     )
                 vj, vk = fn(
                     tbls, entry["tasks"],
@@ -783,12 +842,14 @@ class JKEngine:
                 )
                 tasks_list = tuple(e["tasks"] for e in group)
                 bounds = tuple(e["bound"] for e in group)
-                fn = _fused_scan_fn(sig, nao, with_j, with_k, omega)
+                fn = _fused_scan_fn(sig, nao, with_j, with_k, omega,
+                                    n_dm=n_dm)
                 vj, vk = fn(
                     tables_list, tasks_list, dm_df, dm_f32, vj, vk, bounds
                 )
-        vj64 = df.to_f64(vj).reshape(nao, nao) if with_j else None
-        vk64 = df.to_f64(vk).reshape(nao, nao) if with_k else None
+        shape = (nao, nao) if n_dm == 1 else (n_dm, nao, nao)
+        vj64 = df.to_f64(vj).reshape(shape) if with_j else None
+        vk64 = df.to_f64(vk).reshape(shape) if with_k else None
         return vj64, vk64
 
     def get_jk(self, dm_mol, with_j=True, with_k=True, omega=0.0, hermi=1,
@@ -809,6 +870,32 @@ class JKEngine:
         """
         dm = np.asarray(dm_mol, np.float64)
         if dm.ndim == 3:  # multi-dm (reference: n_dm batching)
+            sym_all = hermi == 1 or all(
+                np.abs(d - d.T).max() < 1e-14 * max(np.abs(d).max(), 1.0)
+                for d in dm
+            )
+            if sym_all and self.accum != "block":
+                # batched path: the ERIs of every class scan are computed
+                # ONCE and contracted with all n_dm densities (reference:
+                # n_dm as a kernel template arg, backend/jk_1qnt.py)
+                lay = self.layout
+                dms_int = np.stack([lay.dm_to_internal(d) for d in dm])
+                cond = np.maximum.reduce(
+                    [lay.dm_cond(d) for d in dms_int]
+                )
+                pj, pk = self._run_plan(
+                    dms_int, with_j, with_k, float(omega or 0.0), bucketed,
+                    cond=cond,
+                )
+                vj = (
+                    np.stack([lay.mat_to_mol(v + v.T) for v in pj])
+                    if with_j else None
+                )
+                vk = (
+                    np.stack([lay.mat_to_mol(v + v.T) for v in pk])
+                    if with_k else None
+                )
+                return vj, vk
             outs = [
                 self.get_jk(d, with_j, with_k, omega, hermi, bucketed)
                 for d in dm
@@ -831,6 +918,18 @@ class JKEngine:
             # one shared density bound for both passes so the plan cache
             # is not rebuilt twice per call
             cond = np.maximum(cond, lay.dm_cond(dma_int))
+        if dma_int is not None and self.accum != "block":
+            # batch the symmetric and antisymmetric passes: ERIs are
+            # evaluated once and contracted with both densities
+            pj, pk = self._run_plan(
+                np.stack([dms_int, dma_int]), with_j, True, omega,
+                bucketed, cond=cond,
+            )
+            out_j = lay.mat_to_mol(pj[0] + pj[0].T) if with_j else None
+            out_k = lay.mat_to_mol(pk[0] + pk[0].T) + lay.mat_to_mol(
+                pk[1] - pk[1].T
+            )
+            return out_j, out_k
         vj, vk = self._run_plan(
             dms_int, with_j, with_k, omega, bucketed, cond=cond
         )

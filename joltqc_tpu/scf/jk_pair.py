@@ -355,6 +355,162 @@ def _vm(ar, v, M):
     return ar.bmm(v[:, None, :], M)[:, 0, :]
 
 
+# ------------------------------------------------------------- pair VK
+def _rs(x, shape):
+    if isinstance(x, df.DF64):
+        return df.DF64(x.hi.reshape(shape), x.lo.reshape(shape))
+    return x.reshape(shape)
+
+
+def _t12(x):
+    """Transpose the last two axes (ar-native)."""
+    if isinstance(x, df.DF64):
+        return df.DF64(
+            jnp.swapaxes(x.hi, -1, -2), jnp.swapaxes(x.lo, -1, -2)
+        )
+    return jnp.swapaxes(x, -1, -2)
+
+
+@lru_cache(maxsize=None)
+def _vk_fn(l1, l2, l3, l4, np1, np2, np3, np4, tier, nao):
+    """Pair-algorithm exchange kernel (jitted class scan).
+
+    Reference counterpart: the experimental pair-based VK kernel
+    (/root/reference/jqc/backend/jk/pair_vk.cu:83 +
+    backend/jk_pair.py:372 -- 16x16 thread blocks over (ij-pair,
+    kl-pair) tiles contracting ERIs with dm on the fly).  TPU redesign:
+    the ERI block of each (bra-pair, ket-pair) task factors through the
+    Hermite E tensors,
+
+        G(ab,cd) = E_bra (nf12 x NTb) @ M (NTb x NTk) @ E_ket^T,
+
+    three MXU batched matmuls per primitive-pair combo instead of the
+    scalar McMurchie-Davidson quartet chain of the contracted engine
+    (ops/eri.py) -- the pair path trades more Hermite->cartesian matmul
+    work for zero contraction depth in the class key.  K contraction and
+    symmetry conventions match scf/jk_contracted.py exactly
+    (weighted-orbit sum, final V + V^T unfold by the caller)."""
+    from .jk_contracted import _contract_blocks
+
+    ar = get_arith(tier)
+    lab, lcd = l1 + l2, l3 + l4
+    NTb, NTk = _nt(lab), _nt(lcd)
+    L = lab + lcd
+    idxM = coupling_index(lab, lcd)  # (NTb, NTk)
+    sgn_k = ket_signs(lcd)  # (NTk,)
+    pref_c = 2.0 * math.pi ** 2.5
+    nfs = (_nf(l1), _nf(l2), _nf(l3), _nf(l4))
+    nf12, nf34 = nfs[0] * nfs[1], nfs[2] * nfs[3]
+    pa1 = np.repeat(np.arange(np1), np2)
+    pb1 = np.tile(np.arange(np2), np1)
+    pa2 = np.repeat(np.arange(np3), np4)
+    pb2 = np.tile(np.arange(np4), np3)
+
+    def fn(tb1, tb2, tb3, tb4, tasks, dm, vk):
+        c1_coord, c1_exps, c1_coefs, c1_ao = tb1
+        c2_coord, c2_exps, c2_coefs, c2_ao = tb2
+        c3_coord, c3_exps, c3_coefs, c3_ao = tb3
+        c4_coord, c4_exps, c4_coefs, c4_ao = tb4
+
+        def chunk(vk, t):
+            il1, jl1, il2, jl2, w = t
+            B = il1.shape[0]
+            A = _take(c1_coord, il1)
+            Bc = _take(c2_coord, jl1)
+            C = _take(c3_coord, il2)
+            D = _take(c4_coord, jl2)
+            ea, ca = _take(c1_exps, il1), _take(c1_coefs, il1)
+            eb, cb = _take(c2_exps, jl1), _take(c2_coefs, jl1)
+            ec, cc = _take(c3_exps, il2), _take(c3_coefs, il2)
+            ed, cd = _take(c4_exps, jl2), _take(c4_coefs, jl2)
+            aos = (
+                jnp.take(c1_ao, il1),
+                jnp.take(c2_ao, jl1),
+                jnp.take(c3_ao, il2),
+                jnp.take(c4_ao, jl2),
+            )
+            # primitive-pair combos run under lax.scan (ONE compiled combo
+            # body instead of nppb*nppk unrolled copies -- up to 81 at
+            # nprim=3, which explodes compile time; same tradeoff as the
+            # slice loop in ops/eri.py)
+            npp_b, npp_k = np1 * np2, np3 * np4
+            kb_arr = jnp.asarray(
+                np.repeat(np.arange(npp_b), npp_k), jnp.int32
+            )
+            kk_arr = jnp.asarray(np.tile(np.arange(npp_k), npp_b), jnp.int32)
+            pa1_d = jnp.asarray(pa1, jnp.int32)
+            pb1_d = jnp.asarray(pb1, jnp.int32)
+            pa2_d = jnp.asarray(pa2, jnp.int32)
+            pb2_d = jnp.asarray(pb2, jnp.int32)
+
+            def _colt(x, i):
+                # dynamic column gather (ar-native)
+                if isinstance(x, df.DF64):
+                    return df.DF64(
+                        jnp.take(x.hi, i, axis=1), jnp.take(x.lo, i, axis=1)
+                    )
+                return jnp.take(x, i, axis=1)
+
+            def combo(G, ci):
+                kb, kk = kb_arr[ci], kk_arr[ci]
+                a = _colt(ea, pa1_d[kb])
+                b = _colt(eb, pb1_d[kb])
+                cab = ar.mul(_colt(ca, pa1_d[kb]), _colt(cb, pb1_d[kb]))
+                pdb = make_pair_data(ar, A, Bc, a, b, cab)
+                inv2p = ar.scale_pow2(ar.recip(pdb["p"]), 0.5)
+                Eb = stack_e_pairs(
+                    ar, l1, l2,
+                    e_tensor(ar, l1, l2, inv2p, pdb["xpa"], pdb["xpb"],
+                             pdb["epref"]),
+                )  # (B, nf12, NTb)
+                c_ = _colt(ec, pa2_d[kk])
+                d_ = _colt(ed, pb2_d[kk])
+                ccd = ar.mul(_colt(cc, pa2_d[kk]), _colt(cd, pb2_d[kk]))
+                pdk = make_pair_data(ar, C, D, c_, d_, ccd)
+                inv2q = ar.scale_pow2(ar.recip(pdk["p"]), 0.5)
+                Ek = stack_e_pairs(
+                    ar, l3, l4,
+                    e_tensor(ar, l3, l4, inv2q, pdk["xpa"], pdk["xpb"],
+                             pdk["epref"]),
+                )  # (B, nf34, NTk)
+                psum = ar.add(pdb["p"], pdk["p"])
+                theta = ar.div(ar.mul(pdb["p"], pdk["p"]), psum)
+                PQ = ar.sub(pdb["P"], pdk["P"])
+                r2 = _sumsq(ar, PQ)
+                boys = ar.boys(L, ar.mul(theta, r2))
+                RS = r_tensor_stacked(ar, L, theta, PQ, boys)  # (B, NR)
+                M = ar.take(RS, idxM.reshape(-1), axis=-1)
+                M = _rs(M, (B, NTb, NTk))
+                pref = ar.mul(
+                    ar.const(pref_c, ar.hi(psum).shape),
+                    ar.recip(
+                        ar.mul(ar.mul(pdb["p"], pdk["p"]), ar.sqrt(psum))
+                    ),
+                )
+                pref = ar.mul(pref, ar.mul(pdb["coef"], pdk["coef"]))
+                M = ar.mul(M, pref[..., None, None])
+                M = ar.mul_f32(M, sgn_k[None, None, :])
+                return ar.add(G, ar.bmm(ar.bmm(Eb, M), _t12(Ek))), None
+
+            G, _ = jax.lax.scan(
+                combo, ar.zeros((B, nf12, nf34)),
+                jnp.arange(npp_b * npp_k, dtype=jnp.int32),
+            )
+            G = ar.mul_f32(G, w[:, None, None])
+            _, kstreams = _contract_blocks(
+                tier, G, aos, nfs, dm, nao, False, True
+            )
+            joined = _cat([_flat(v) for _, v, _ in kstreams])
+            jix = jnp.concatenate([i.reshape(-1) for _, _, i in kstreams])
+            limbs, sexp = scatter_limbs(joined, jix, nao * nao)
+            return df.add(vk, limbs_to_df64(limbs, sexp)), None
+
+        vk, _ = jax.lax.scan(chunk, vk, tasks)
+        return vk
+
+    return jax.jit(fn, donate_argnums=(6,))
+
+
 # --------------------------------------------------------------- driver
 class PairJEngine:
     """Pair-algorithm Coulomb-only builder (reference: pyscf/jk_pair.py).
@@ -479,5 +635,86 @@ class PairJEngine:
         vj64 = df.to_f64(vj).reshape(nao, nao)
         return lay.mat_to_mol(vj64 + vj64.T)
 
+    def get_k(self, dm_mol):
+        """Pair-algorithm exchange matrix (reference: pair_vk.cu).
 
-__all__ = ["PairJEngine"]
+        Same screening, tier partition, and symmetry-weight conventions
+        as the quartet engine; the ERI evaluation is the Hermite
+        E @ M @ E^T factorization of :func:`_vk_fn`."""
+        eng = self.jk
+        lay = self.layout
+        nao = self.nao
+        dm_int = lay.dm_to_internal(np.asarray(dm_mol, np.float64))
+        logdm = float(np.log(max(np.abs(dm_int).max(), 1e-30)))
+        log32 = np.log(eng.cutoff_fp32) - logdm
+        log64 = np.log(eng.cutoff_fp64) - logdm
+        dm_df = df.from_f64(dm_int)
+        dm_f32 = jnp.asarray(dm_int, jnp.float32)
+        pcs = eng.pair_classes
+        for pc in pcs:
+            eng._ensure_q(pc)
+
+        vk = {"df64": df.const(0.0, (nao * nao,)),
+              "f32": df.const(0.0, (nao * nao,))}
+        for p1i in range(len(pcs)):
+            p1 = pcs[p1i]
+            c1, c2 = eng.classes[p1.ci], eng.classes[p1.cj]
+            for p2i in range(p1i + 1):
+                p2 = pcs[p2i]
+                c3, c4 = eng.classes[p2.ci], eng.classes[p2.cj]
+                same = p1i == p2i
+                t1, t2, w_all, tier64 = build_quartet_tasks(
+                    p1, p2, same, log32, log64
+                )
+                if len(t1) == 0:
+                    continue
+                ls = (c1.l, c2.l, c3.l, c4.l)
+                for tier, sel in (("df64", tier64), ("f32", ~tier64)):
+                    n = int(sel.sum())
+                    if n == 0:
+                        continue
+                    B = _chunk_size(ls, n)
+                    s1, s2, sw = t1[sel], t2[sel], w_all[sel]
+                    npad = (-n) % B
+                    il1 = np.concatenate(
+                        [p1.i_loc[s1], np.zeros(npad, np.int32)])
+                    jl1 = np.concatenate(
+                        [p1.j_loc[s1], np.zeros(npad, np.int32)])
+                    il2 = np.concatenate(
+                        [p2.i_loc[s2], np.zeros(npad, np.int32)])
+                    jl2 = np.concatenate(
+                        [p2.j_loc[s2], np.zeros(npad, np.int32)])
+                    sw = np.concatenate([sw, np.zeros(npad)])
+                    nchunk = len(il1) // B
+                    tasks = tuple(
+                        jnp.asarray(x.reshape(nchunk, B), dt)
+                        for x, dt in (
+                            (il1, jnp.int32), (jl1, jnp.int32),
+                            (il2, jnp.int32), (jl2, jnp.int32),
+                            (sw, jnp.float32),
+                        )
+                    )
+                    tb = eng._tables(tier)
+                    fnK = _vk_fn(
+                        c1.l, c2.l, c3.l, c4.l,
+                        c1.nprim, c2.nprim, c3.nprim, c4.nprim, tier, nao,
+                    )
+                    vk[tier] = fnK(
+                        tb[p1.ci], tb[p1.cj], tb[p2.ci], tb[p2.cj],
+                        tasks, dm_df if tier == "df64" else dm_f32, vk[tier],
+                    )
+
+        vk64 = (df.to_f64(vk["df64"]) + df.to_f64(vk["f32"])).reshape(nao, nao)
+        return lay.mat_to_mol(vk64 + vk64.T)
+
+    def get_jk(self, dm_mol):
+        """(vj, vk) through the pair algorithm (reference:
+        jqc/pyscf/jk_pair.py:85 generate_jk_kernel)."""
+        return self.get_j(dm_mol), self.get_k(dm_mol)
+
+
+# Reference naming: the pair engine provides both vj and vk
+# (jqc/backend/jk_pair.py gen_vj_kernel/gen_vk_kernel).
+PairJKEngine = PairJEngine
+
+__all__ = ["PairJEngine", "PairJKEngine"]

@@ -56,3 +56,29 @@ def test_screened_vxc_matches_dense(setup, family):
     v_d = eval_vxc_mat(ni, grids, wv, family)
     scale = np.abs(v_d).max()
     assert np.abs(v_s - v_d).max() / scale < 2e-6
+
+
+def test_dm_cond_l2_pooling():
+    """l2_block_pooling parity (reference: linalg_helper.py:214)."""
+    from joltqc_tpu.mol import Molecule
+    from joltqc_tpu.mol.layout import BasisLayout
+
+    mol = Molecule.from_atom_string(
+        "O 0 0 0.1174; H -0.757 0 -0.4696; H 0.757 0 -0.4696", basis="6-31g"
+    )
+    lay = BasisLayout(mol)
+    rng = np.random.default_rng(0)
+    nao = lay.nao_int
+    dm = rng.standard_normal((nao, nao))
+    cond = lay.dm_cond_l2(dm)
+    loc = lay.ao_loc_int
+    nb = lay.nbas
+    ref = np.zeros((nb, nb))
+    for i in range(nb):
+        for j in range(nb):
+            blk = dm[loc[i]:loc[i + 1], loc[j]:loc[j + 1]]
+            ref[i, j] = np.sqrt((blk ** 2).sum())
+    assert np.allclose(cond, ref)
+    # max pooling sanity alongside
+    condm = lay.dm_cond(dm)
+    assert (cond + 1e-12 >= condm).all()
