@@ -97,3 +97,30 @@ def test_sharded_production_engine_bit_exact():
     assert np.abs(vj_s).max() > 0
     np.testing.assert_array_equal(vj_s, vj_1)
     np.testing.assert_array_equal(vk_s, vk_1)
+
+
+def test_sharded_multi_dm_bit_exact():
+    """Batched multi-dm get_jk sharded over the mesh == single chip,
+    bit-exact (the n_dm contraction loop shares one ERI pass per class;
+    the limb psum stays exact regardless of n_dm)."""
+    from joltqc_tpu.scf.jk_contracted import JKEngine as CJKEngine
+
+    mol = Molecule.from_atom_string(
+        "O 0 0 0.1174; H -0.757 0 -0.4696; H 0.757 0 -0.4696", basis="sto-3g"
+    )
+    layout = BasisLayout(mol)
+    rng = np.random.default_rng(4)
+    nao = mol.nao
+    dms = np.stack([
+        (lambda a: a + a.T)(rng.standard_normal((nao, nao)))
+        for _ in range(2)
+    ])
+
+    mesh = Mesh(np.array(jax.devices()), ("tasks",))
+    vj_s, vk_s = CJKEngine(layout, mesh=mesh).get_jk(dms)
+    vj_1, vk_1 = CJKEngine(layout).get_jk(dms)
+
+    assert vj_s.shape == (2, nao, nao)
+    assert np.abs(vj_s).max() > 0
+    np.testing.assert_array_equal(vj_s, vj_1)
+    np.testing.assert_array_equal(vk_s, vk_1)
