@@ -94,7 +94,8 @@ def limbs_to_df64(limbs, sexp) -> DF64:
     return total
 
 
-def block_accumulate(values, rowkey, nrows: int, x_abs_max, nlimb: int = None):
+def block_accumulate(values, rowkey, nrows: int, x_abs_max, nlimb: int = None,
+                     axis_name=None):
     """Exact deterministic segment accumulation via int8 MXU matmul.
 
     ``values``: (T, nf) DF64 or f32; ``rowkey``: (T,) int32 in
@@ -143,6 +144,13 @@ def block_accumulate(values, rowkey, nrows: int, x_abs_max, nlimb: int = None):
         onehot, L, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # (nrows+1, nf*nlimb) exact integer sums
+    if axis_name is not None:
+        # multi-chip: combine the per-device partial block sums while
+        # still integers -- exact, so the reassembled blocks (and thus
+        # everything downstream) are bit-identical to a single chip
+        # processing the whole chunk.  Headroom: the psum'd acc equals
+        # the single-chip acc of the full chunk (< B_full * 127 < 2^24).
+        acc = jax.lax.psum(acc, axis_name)
     acc = acc[:nrows].reshape(nrows, values.hi.shape[1], nlimb)
 
     inv_s = _pow2_exact(-sexp)

@@ -73,7 +73,7 @@ def _accum_kernel(nrows, nf, nlimb, T2, ts2, isdf):
 
 
 def block_accumulate_pallas(values, rowkey, nrows: int, x_abs_max,
-                            nlimb: int = None):
+                            nlimb: int = None, axis_name=None):
     """Drop-in for ops/accum.py::block_accumulate (same contract)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -125,6 +125,12 @@ def block_accumulate_pallas(values, rowkey, nrows: int, x_abs_max,
         interpret=jax.default_backend() == "cpu",
     )(sexp, vhi, vlo, key2)
 
+    if axis_name is not None:
+        # exact integer psum of the per-device partial block sums (cast
+        # through int32: f32 adds above 2^24 would round)
+        acc = jax.lax.psum(acc.astype(jnp.int32), axis_name).astype(
+            jnp.float32
+        )
     acc = acc.reshape(nrows, nf, nlimb)
     inv_s = _pow2_exact(-sexp[0, 0])
     total = None

@@ -152,7 +152,7 @@ def _cat_vals(parts):
 
 def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
                      tables, tasks, dm, vj, vk, bound, axis_name=None,
-                     accum="scatter", nrows=0, tile=8, n_dm=1):
+                     accum="scatter", nrows=0, tile=8, n_dm=1, chunk_b=None):
     """Traced body of one class scan (shared by the per-class, fused, and
     sharded execution paths).
 
@@ -191,16 +191,25 @@ def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
         return df.add(acc, limbs_to_df64(limbs, sexp))
 
     def _accum_block(acc, streams, locs, tb4, gs, B):
-        """Tile-reduce each stream, then scatter only block rows."""
+        """Tile-reduce each stream, then scatter only block rows.
+
+        Under ``axis_name`` (shard_map) the per-device partial block
+        sums are psum'd INSIDE the block accumulator while still
+        integers, so every device holds the identical global blocks;
+        the block-row scatter below is then replicated (no limb psum)
+        and the result stays bit-identical to single-chip."""
         cidx = {"a": 0, "b": 1, "c": 2, "d": 3}
         S = tile
         G_slots = nrows // (S * S)
         vals_out, idx_out = [], []
+        # exactness constraints are on the FULL chunk (B tasks across
+        # all devices), not the per-device slice
+        Bfull = chunk_b if chunk_b is not None else locs[0].shape[0]
         T = locs[0].shape[0]
         use_pallas = (
             jax.default_backend() == "tpu"
             and T % 128 == 0
-            and T * 127 < (1 << 24)
+            and Bfull * 127 < (1 << 24)
         )
         if use_pallas:
             from ..ops.accum_pallas import block_accumulate_pallas as _ba
@@ -210,7 +219,8 @@ def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
             x, y = xy
             jx, jy = locs[cidx[x]], locs[cidx[y]]
             rowkey = gs * (S * S) + (jx % S) * S + (jy % S)
-            blocks = _ba(vals, rowkey, nrows, x_abs_max=bound)
+            blocks = _ba(vals, rowkey, nrows, x_abs_max=bound,
+                         axis_name=axis_name)
             # block row -> flat nao^2 index (spill row nao^2 for pad/
             # out-of-class rows)
             nfx = _nf(ls[cidx[x]])
@@ -244,10 +254,10 @@ def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
         jix = jnp.concatenate(idx_out)
         limbs, sexp = scatter_limbs(
             joined, jix, nao * nao, nlimb=7,
-            x_abs_max=bound * np.float32(B),
+            x_abs_max=bound * np.float32(Bfull),
         )
-        if axis_name is not None:
-            limbs = jax.lax.psum(limbs, axis_name)
+        # no psum: under axis_name the blocks are already global and the
+        # scatter is identical on every device
         return df.add(acc, limbs_to_df64(limbs, sexp))
 
     def chunk(carry, t):
@@ -332,7 +342,7 @@ def _fused_scan_fn(sig, nao, with_j, with_k, omega=0.0, n_dm=1):
 
 @lru_cache(maxsize=None)
 def _class_scan_fn(ls, nprims, tier, nao, with_j, with_k, omega=0.0,
-                   accum="scatter", nrows=0, tile=8, n_dm=1):
+                   accum="scatter", nrows=0, tile=8, n_dm=1, chunk_b=None):
     """Jitted Fock-contribution scan for ONE task class (profile path).
 
     Signature: fn(tables, tasks, dm, vj, vk) -> (vj, vk), where
@@ -347,7 +357,7 @@ def _class_scan_fn(ls, nprims, tier, nao, with_j, with_k, omega=0.0,
         return _class_scan_body(
             ls, nprims, tier, nao, with_j, with_k, omega,
             tables, tasks, dm, vj, vk, bound,
-            accum=accum, nrows=nrows, tile=tile, n_dm=n_dm,
+            accum=accum, nrows=nrows, tile=tile, n_dm=n_dm, chunk_b=chunk_b,
         )
 
     return jax.jit(fn, donate_argnums=(3, 4))
@@ -355,7 +365,8 @@ def _class_scan_fn(ls, nprims, tier, nao, with_j, with_k, omega=0.0,
 
 @lru_cache(maxsize=None)
 def _sharded_class_scan_fn(mesh, ls, nprims, tier, nao, with_j, with_k,
-                           omega=0.0, n_dm=1):
+                           omega=0.0, n_dm=1, accum="scatter", nrows=0,
+                           tile=8, chunk_b=None):
     """Multi-chip variant of ``_class_scan_fn``: the task chunks (axis 1,
     the within-chunk batch) are sharded over the mesh's ``tasks`` axis;
     dm / tables / accumulators are replicated; the per-chunk int32 limb
@@ -374,13 +385,20 @@ def _sharded_class_scan_fn(mesh, ls, nprims, tier, nao, with_j, with_k,
         return _class_scan_body(
             ls, nprims, tier, nao, with_j, with_k, omega,
             tables, tasks, dm, vj, vk, bound, axis_name="tasks",
-            n_dm=n_dm,
+            n_dm=n_dm, accum=accum, nrows=nrows, tile=tile, chunk_b=chunk_b,
         )
 
+    if accum == "block":
+        # task tuple = (ia, ib, ic, id, w, gslot, tb4): the within-chunk
+        # batch axis of the first six shards over the mesh; the per-chunk
+        # tile-base table tb4 (nchunk, G, 4) is replicated
+        task_specs = (P(None, "tasks"),) * 6 + (P(),)
+    else:
+        task_specs = (P(None, "tasks"),) * 5
     sharded = _shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(), P(None, "tasks"), P(), P(), P(), P()),
+        in_specs=(P(), task_specs, P(), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -436,8 +454,6 @@ class JKEngine:
         # -- the per-element scatter serializes on TPU and dominates large
         # Fock builds.  "block" requires no mesh (sharded path keeps
         # scatter).  ``tile`` = shell-tile edge S (rows per block = S^2).
-        if accum == "block" and mesh is not None:
-            raise ValueError("block accumulation not yet wired for meshes")
         self.accum = accum
         self.tile = tile
         # multi-chip: a jax.sharding.Mesh with a "tasks" axis; task batches
@@ -801,17 +817,21 @@ class JKEngine:
                 tier = entry["tier"]
                 tables = self._tables(tier)
                 tbls = tuple(tables[k] for k in entry["cls_idx"])
+                chunk_b = int(entry["tasks"][0].shape[1])
                 if self.mesh is not None:
                     fn = _sharded_class_scan_fn(
                         self.mesh, entry["ls"], entry["nprims"], tier, nao,
                         with_j, with_k, omega, n_dm=n_dm,
+                        accum=entry.get("accum", "scatter"),
+                        nrows=entry.get("nrows", 0), tile=self.tile,
+                        chunk_b=chunk_b,
                     )
                 else:
                     fn = _class_scan_fn(
                         entry["ls"], entry["nprims"], tier, nao, with_j,
                         with_k, omega, accum=entry.get("accum", "scatter"),
                         nrows=entry.get("nrows", 0), tile=self.tile,
-                        n_dm=n_dm,
+                        n_dm=n_dm, chunk_b=chunk_b,
                     )
                 vj, vk = fn(
                     tbls, entry["tasks"],

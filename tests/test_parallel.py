@@ -124,3 +124,35 @@ def test_sharded_multi_dm_bit_exact():
     assert np.abs(vj_s).max() > 0
     np.testing.assert_array_equal(vj_s, vj_1)
     np.testing.assert_array_equal(vk_s, vk_1)
+
+
+def test_sharded_block_accumulation_bit_exact():
+    """accum='block' on a mesh == accum='block' single chip, bit-exact.
+
+    The per-device partial block sums are psum'd as INTEGERS inside
+    block_accumulate, so the reassembled blocks (and the replicated
+    block-row scatter after them) are identical to the single-chip
+    path."""
+    from joltqc_tpu.scf.jk_contracted import JKEngine as CJKEngine
+
+    mol = Molecule.from_atom_string(
+        "O 0 0 0.1174; H -0.757 0 -0.4696; H 0.757 0 -0.4696", basis="6-31g"
+    )
+    layout = BasisLayout(mol)
+    rng = np.random.default_rng(7)
+    nao = mol.nao
+    dm = rng.standard_normal((nao, nao))
+    dm = dm + dm.T
+
+    mesh = Mesh(np.array(jax.devices()), ("tasks",))
+    eng_s = CJKEngine(layout, cutoff_fp32=1e-14, cutoff_fp64=1e-7,
+                      accum="block", tile=4, mesh=mesh)
+    eng_1 = CJKEngine(layout, cutoff_fp32=1e-14, cutoff_fp64=1e-7,
+                      accum="block", tile=4)
+    vj_s, vk_s = eng_s.get_jk(dm)
+    vj_1, vk_1 = eng_1.get_jk(dm)
+    assert any(e.get("accum") == "block" for e in eng_1._plan)
+    assert any(e.get("accum") == "block" for e in eng_s._plan)
+    assert np.abs(vj_s).max() > 0
+    np.testing.assert_array_equal(vj_s, vj_1)
+    np.testing.assert_array_equal(vk_s, vk_1)
