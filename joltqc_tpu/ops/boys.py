@@ -183,9 +183,15 @@ def boys_f32(mmax: int, x, nseries: int | None = None):
 
     xl = jnp.maximum(x, switch)
     emx_l = jnp.exp(-xl)
-    f0_large = (
-        _SQRT_PI_OVER_2 / jnp.sqrt(xl) * jax.scipy.special.erf(jnp.sqrt(xl))
-    )
+    # erf(sqrt x) for x >= 10 via the asymptotic erfc expansion
+    #   erfc(t) = e^{-t^2}/(t sqrt(pi)) (1 - u + 3u^2 - 15u^3),  u = 1/(2x)
+    # |err| < 5e-9 at x = 10 (f32 target 1e-7).  Composed of primitive
+    # ops only: lax.erf has no Pallas TPU lowering, and this is cheaper.
+    inv_sqrt_xl = jax.lax.rsqrt(xl)
+    u = 0.5 / xl
+    poly = 1.0 + u * (-1.0 + u * (3.0 - 15.0 * u))
+    erf_l = 1.0 - emx_l * inv_sqrt_xl * np.float32(1.0 / np.sqrt(np.pi)) * poly
+    f0_large = _SQRT_PI_OVER_2 * inv_sqrt_xl * erf_l
     inv_2x = 0.5 / xl
     fs_large = [None] * (mmax + 1)
     fs_large[0] = f0_large
