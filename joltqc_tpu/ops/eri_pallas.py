@@ -54,6 +54,12 @@ _LANE = 128
 _PALLAS_ASM_MAX = int(os.environ.get("JQC_PALLAS_ASM_MAX", "20000"))
 # VMEM live-set budget (bytes) used by the static eligibility estimate
 _VMEM_BUDGET = int(os.environ.get("JQC_PALLAS_VMEM", str(10 << 20)))
+# Mosaic scoped-VMEM limit passed to the compiler.  The default scoped
+# limit is 16 MB and the real stack need runs ~2x the static live-set
+# estimate (measured: an 8.8 MB-estimate f32 class allocated 18.9 MB and
+# OOMed the 16 MB default), so raise it well clear of the worst
+# eligible class while leaving most of the 128 MB chip VMEM free.
+_VMEM_LIMIT = int(os.environ.get("JQC_PALLAS_VMEM_LIMIT", str(64 << 20)))
 
 
 def _nf(l):
@@ -209,6 +215,7 @@ def eri_chunk_pallas(tier, ls, nprims, quartet, omega: float = 0.0):
         out_specs=[spec(nfg)] * n_out,
         out_shape=out_shape,
         interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(*inputs)
 
     def unstack(x):
