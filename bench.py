@@ -3,11 +3,22 @@
 Workload: (H2O)27 cluster, 6-31g* (513 cartesian-internal AOs, 486
 spherical), mixed precision (cutoff_fp32=1e-13, cutoff_fp64=1e-6 -- the
 reference's default scheme, /root/reference/jqc/pyscf/__init__.py:
-100-118), per-shell-block density screening.  Metric is the median wall
-time of a full get_jk call (vj+vk) with a converged-like density, after
-one warmup call that triggers all kernel compiles -- the per-iteration
+100-118), per-shell-block density screening.  Metric is the wall time
+of a full get_jk call (vj+vk) with a converged-like density, after one
+warmup call that triggers all kernel compiles -- the per-iteration
 Fock-build cost that dominates SCF time-to-solution (BASELINE.json
 north star).
+
+Budget engineering (round-2 failure was rc=124, no number):
+ - the screened task plan (the ~500 s single-core host build) is
+   persisted to disk by the engine (utils/plancache.py) -- the first
+   run of a round pays it, every later run loads it in seconds;
+ - XLA kernel compiles hit the persistent compilation cache
+   (utils/cache.py) when bench.py has been run once after the final
+   source edit of the round;
+ - the ONE JSON metric line is printed (and flushed) immediately after
+   the FIRST timed run -- a slow tunnel then degrades precision, never
+   existence; later runs only refine the stderr diagnostics.
 
 Prints ONE JSON line:
   {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
@@ -24,16 +35,23 @@ AOs; scaling by (513/839)^3 (screened-ERI regime) gives
 for a GPU4PySCF-class JK build on this workload.  vs_baseline =
 ANCHOR_SEC / value (higher is better; >1 means faster than the derived
 GPU4PySCF anchor).  Diagnostics (tasks/s, tier split, warmup) go to
-stderr after the JSON line.
+stderr.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 ANCHOR_SEC = 10.7 * (513.0 / 839.0) ** 3  # see module docstring
+
+_T0 = time.time()
+
+
+def log(msg):
+    print(f"# [{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def water_cluster(n: int, spacing: float = 3.0) -> str:
@@ -59,11 +77,12 @@ def water_cluster(n: int, spacing: float = 3.0) -> str:
 def main():
     from joltqc_tpu.mol import Molecule
     from joltqc_tpu.scf import RHF
-
     from joltqc_tpu.scf.jk_contracted import JKEngine
 
-    n_waters = 27
+    n_waters = int(os.environ.get("JQC_BENCH_WATERS", "27"))
+    n_runs = int(os.environ.get("JQC_BENCH_RUNS", "3"))
     mol = Molecule.from_atom_string(water_cluster(n_waters), basis="6-31g*")
+    log(f"molecule built: {mol.natm} atoms, nao={mol.nao}")
     mf = RHF(mol)
     # merged nprim buckets: ~21 quartet classes instead of ~120 -> the
     # compile count (the expensive resource through the PJRT tunnel)
@@ -73,39 +92,51 @@ def main():
     # converged-like density: core-Hamiltonian guess
     s = mf.get_ovlp()
     h = mf.get_hcore()
+    log("hcore/ovlp done")
     dm = mf.init_guess(s, h)
+    log("init guess done")
 
-    # warmup: compiles every quartet-class kernel
+    # warmup: plan build (or disk-cache load) + kernel compiles
     t0 = time.time()
     vj, vk = mf.jk.get_jk(dm)
     warmup = time.time() - t0
-
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        vj, vk = mf.jk.get_jk(dm)
-        times.append(time.time() - t0)
-    value = float(np.median(times))
+    log(f"warmup(+plan+compile) done: {warmup:.1f}s")
 
     stats = getattr(mf.jk, "plan_stats", {})
     ntasks = stats.get("ntasks", 0)
-    print(
-        json.dumps(
-            {
-                "metric": f"jk_fock_build_sec_iter[(H2O){n_waters},6-31g*,"
-                f"{mol.nao}ao,mixed]",
-                "value": round(value, 4),
-                "unit": "s",
-                "vs_baseline": round(ANCHOR_SEC / value, 3),
-            }
-        )
-    )
-    print(
-        f"# warmup(+compile): {warmup:.1f}s  runs: {[round(t, 3) for t in times]}"
-        f"  nao={mol.nao}  ntasks={ntasks} (df64 {stats.get('n64', 0)})"
-        f"  tasks/s={ntasks / value / 1e6:.2f}M"
-        f"  classes={len(getattr(mf.jk, '_plan', []) or [])}",
-        file=sys.stderr,
+
+    times = []
+    emitted = False
+    for r in range(max(n_runs, 1)):
+        t0 = time.time()
+        vj, vk = mf.jk.get_jk(dm)
+        times.append(time.time() - t0)
+        log(f"run {r + 1}: {times[-1]:.3f}s")
+        if not emitted:
+            # emit the metric line NOW: a timeout after this point still
+            # yields a parsable result
+            value = times[0]
+            print(
+                json.dumps(
+                    {
+                        "metric": f"jk_fock_build_sec_iter[(H2O){n_waters},"
+                        f"6-31g*,{mol.nao}ao,mixed]",
+                        "value": round(value, 4),
+                        "unit": "s",
+                        "vs_baseline": round(ANCHOR_SEC / value, 3),
+                    }
+                ),
+                flush=True,
+            )
+            emitted = True
+
+    value = float(np.median(times))
+    log(
+        f"median: {value:.3f}s  vs_baseline={ANCHOR_SEC / value:.3f}  "
+        f"runs={[round(t, 3) for t in times]}  nao={mol.nao}  "
+        f"ntasks={ntasks} (df64 {stats.get('n64', 0)})  "
+        f"tasks/s={ntasks / value / 1e6:.2f}M  "
+        f"classes={len(getattr(mf.jk, '_plan', []) or [])}"
     )
 
 

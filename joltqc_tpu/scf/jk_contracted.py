@@ -405,6 +405,38 @@ def _sharded_class_scan_fn(mesh, ls, nprims, tier, nao, with_j, with_k,
     return jax.jit(sharded, donate_argnums=(3, 4))
 
 
+def _dev_array(x):
+    """Host->device upload, narrowing the wire format where exact.
+
+    The 513-AO bench plan is ~2.6 GB of int32 task indices; through the
+    PJRT tunnel transfer time is material.  Class-local shell indices
+    almost always fit int16 and symmetry weights (powers of two in
+    [0.125, 1] and 0) are exact in f16, so those are shipped narrow and
+    widened on device (one cheap cast each)."""
+    x = np.asarray(x)
+    if x.dtype == np.int32 and x.size:
+        mx = int(x.max())
+        mn = int(x.min())
+        if 0 <= mn and mx < 32767:
+            return jnp.asarray(x.astype(np.int16)).astype(jnp.int32)
+    elif x.dtype == np.float32 and x.size:
+        xh = x.astype(np.float16)
+        if np.array_equal(xh.astype(np.float32), x):
+            return jnp.asarray(xh).astype(jnp.float32)
+    return jnp.asarray(x)
+
+
+def _plan_to_device(plan):
+    """Convert a host (numpy) plan to a device-resident plan, once."""
+    out = []
+    for e in plan:
+        d = dict(e)
+        d["tasks"] = tuple(_dev_array(t) for t in e["tasks"])
+        d["bound"] = jnp.asarray(np.float32(e["bound"]))
+        out.append(d)
+    return out
+
+
 def _chunk_size(ls, ntasks=None, target_elems=1 << 21, nprims=None, tier=None):
     """Task chunk size: per-device autotuned table first (the analogue of
     the reference's optimal_scheme JSONs, jqc/backend/jk.py:38-53), then
@@ -716,10 +748,7 @@ class JKEngine:
                                 tb4[rows, slots, d] = (
                                     arrp[rows, cols] // S
                                 ) * S
-                            extra = (
-                                jnp.asarray(gslot),
-                                jnp.asarray(tb4),
-                            )
+                            extra = (gslot, tb4)
                     # pad tasks point at each class's zero-coef pad shell
                     ia = np.concatenate([ia0, np.full(npad, c[0].nshell, np.int32)])
                     ib = np.concatenate([ib0, np.full(npad, c[1].nshell, np.int32)])
@@ -728,11 +757,11 @@ class JKEngine:
                     ww = np.concatenate([sw, np.zeros(npad)])
                     nchunk = len(ia) // B
                     tasks = tuple(
-                        jnp.asarray(x.reshape(nchunk, B), dt)
+                        np.asarray(x.reshape(nchunk, B), dt)
                         for x, dt in (
-                            (ia, jnp.int32), (ib, jnp.int32),
-                            (ic, jnp.int32), (idd, jnp.int32),
-                            (ww, jnp.float32),
+                            (ia, np.int32), (ib, np.int32),
+                            (ic, np.int32), (idd, np.int32),
+                            (ww, np.float32),
                         )
                     )
                     nrows = 0
@@ -743,12 +772,39 @@ class JKEngine:
                         dict(
                             ls=ls, nprims=nprims, tier=tier, ntasks=n,
                             cls_idx=(p1.ci, p1.cj, p2.ci, p2.cj), tasks=tasks,
-                            bound=jnp.asarray(bound), accum=accum,
+                            bound=float(bound), accum=accum,
                             nrows=nrows,
                         )
                     )
         self.plan_stats = stats
         return plan
+
+    def _build_plan_cached(self, logdm, dm_cond_log=None, omega=0.0):
+        """Disk-cached ``_build_plan`` + one-time device upload.
+
+        The plan is density-independent numpy data for a fixed
+        (layout, config, density-bound) key; persisting it makes re-runs
+        of the same workload (benchmarks, SCF restarts) skip the ~O(N^4)
+        single-core host screen entirely (utils/plancache.py)."""
+        from ..utils.plancache import load_plan, plan_key, save_plan
+
+        import time as _time
+
+        key = plan_key(self, logdm, dm_cond_log, omega)
+        cached = load_plan(key)
+        if cached is not None:
+            plan, self.plan_stats = cached
+        else:
+            t0 = _time.perf_counter()
+            plan = self._build_plan(logdm, dm_cond_log, omega)
+            # persist only plans that were expensive to build (cheap ones
+            # would just clutter the cache; env JQC_PLAN_CACHE_MIN_SECS)
+            import os as _os
+
+            min_secs = float(_os.environ.get("JQC_PLAN_CACHE_MIN_SECS", "5"))
+            if _time.perf_counter() - t0 >= min_secs:
+                save_plan(key, plan, self.plan_stats)
+        return _plan_to_device(plan)
 
     # ---------------------------------------------------------------- jk
     def _run_plan(self, dm_int, with_j, with_k, omega, bucketed=False,
@@ -791,7 +847,7 @@ class JKEngine:
             cached = self._plans.get(bucket)
             if cached is None or np.any(D > cached[1]):
                 Dm = np.minimum(D + 0.7, bound).astype(np.float32)
-                cached = (self._build_plan(bound, Dm, okey), Dm)
+                cached = (self._build_plan_cached(bound, Dm, okey), Dm)
                 self._plans[bucket] = cached
             plan = cached[0]
         else:
@@ -800,7 +856,7 @@ class JKEngine:
             cached = self._plans_full.get(okey)
             if cached is None or np.any(D > cached[1]):
                 Dm = (D + 0.7).astype(np.float32)
-                cached = (self._build_plan(logdm + 0.7, Dm, okey), Dm)
+                cached = (self._build_plan_cached(logdm + 0.7, Dm, okey), Dm)
                 self._plans_full[okey] = cached
             plan = self._plan = cached[0]
 

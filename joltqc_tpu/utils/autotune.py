@@ -102,13 +102,16 @@ def _time_class(engine, entry, B: int, repeats: int = 3) -> float:
         if tier in ("df64", "fp64")
         else jnp.full((nao, nao), 0.5, jnp.float32)
     )
-    fn = _class_scan_fn(ls, nprims, tier, nao, True, True, 0.0)
+    bound = jnp.asarray(np.float32(entry["bound"]))
+    fn = _class_scan_fn(ls, nprims, tier, nao, True, True, 0.0, chunk_b=B)
 
     def run():
         vj = df.const(0.0, (nao * nao,))
         vk = df.const(0.0, (nao * nao,))
-        vj, vk = fn(tbls, tasks, dm, vj, vk)
-        jax.block_until_ready(vj.hi)
+        vj, vk = fn(tbls, tasks, dm, vj, vk, bound)
+        # force a device->host transfer: block_until_ready does not
+        # actually block on the axon platform (CLAUDE.md measurement trap)
+        np.asarray(vj.hi[:1])
 
     run()  # compile
     ts = []
