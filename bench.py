@@ -89,12 +89,30 @@ def main():
     # stays bounded; padded-prim waste is acceptable at this size
     mf.jk = JKEngine(mf.layout, merge_nprim=True)
 
-    # converged-like density: core-Hamiltonian guess
-    s = mf.get_ovlp()
-    h = mf.get_hcore()
-    log("hcore/ovlp done")
-    dm = mf.init_guess(s, h)
-    log("init guess done")
+    # converged-like density: core-Hamiltonian guess.  hcore/ovlp are
+    # deterministic for the workload but cost ~20 min of int1e compiles
+    # through a slow tunnel, so the GUESS DENSITY (not the metric -- the
+    # metric is the J/K build below) is persisted across runs.
+    cache_dir = os.path.expanduser(
+        os.environ.get("JQC_CACHE_DIR", "~/.cache/joltqc_tpu")
+    )
+    dm_path = os.path.join(
+        cache_dir, f"bench_dm_w{n_waters}_{mol.nao}.npy"
+    )
+    if os.path.exists(dm_path):
+        dm = np.load(dm_path)
+        log("guess density loaded from cache")
+    else:
+        s = mf.get_ovlp()
+        h = mf.get_hcore()
+        log("hcore/ovlp done")
+        dm = mf.init_guess(s, h)
+        log("init guess done")
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            np.save(dm_path, np.asarray(dm))
+        except OSError:
+            pass
 
     # warmup: plan build (or disk-cache load) + kernel compiles
     t0 = time.time()

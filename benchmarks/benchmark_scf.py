@@ -39,5 +39,5 @@ def main(n, xcs):
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    xcs = sys.argv[2:] or ["hf", "pbe", "b3lyp", "wb97m-v"]
+    xcs = sys.argv[2:] or ["hf", "pbe", "b3lyp", "wb97x-v"]
     main(n, xcs)

@@ -66,10 +66,16 @@ def bench_one(ls, nprims, tier, use_pallas):
     t0 = time.time()
     v = float(f(batch))
     compile_s = time.time() - t0
+    # amortize the tunnel round trip over OUTER async dispatches too:
+    # queue N calls back-to-back, sync once at the end.  total ~=
+    # N*REPS*device_time + 1 RTT (vs REPS*device_time + RTT before,
+    # where a ~25 ms RTT swamped ms-scale kernels).
+    outer = int(os.environ.get("OUTER", "8"))
     t0 = time.time()
-    v = float(f(batch))
+    vs = [f(batch) for _ in range(outer)]
+    v = float(vs[-1])
     run_s = time.time() - t0
-    per = run_s / REPS
+    per = run_s / (REPS * outer)
     mt = T / per / 1e6
     name = "pallas" if use_pallas else "xla"
     print(f"{ls} np={nprims} {tier:5s} {name:6s} compile={compile_s:7.1f}s "

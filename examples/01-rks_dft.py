@@ -10,7 +10,7 @@ mol = Molecule.from_atom_string(
     basis="6-31g",
 )
 
-for xc in ("pbe", "b3lyp", "wb97m-v"):
+for xc in ("pbe", "b3lyp", "wb97x-v"):
     mf = RKS(mol, xc=xc)
     e = mf.kernel()
     print(f"E({xc}) = {e:.10f} Ha  (grid nelec = {mf._nelec_grid:.6f})")

@@ -128,25 +128,38 @@ class Grids:
         radii = np.array([bragg_radius(z) for z in zs])
 
         pts_all, w_all, owner = [], [], []
-        sph, wang = angular_product_grid(self.n_theta, self.n_phi)
-        sph_small, wang_small = angular_product_grid(
-            max(6, self.n_theta // 3)
-        )
+        # tiered angular pruning (the product-grid analogue of PySCF's
+        # nwchem_prune, data-free): the density is angularly smooth both
+        # in the core (r << R_bragg, dominated by s-like cusp) and in the
+        # far tail (r >> R_bragg), so those radial regions use reduced
+        # GL x uniform orders.  Region edges in units of the Bragg
+        # radius and n_theta fractions mirror the nwchem scheme
+        # (reference gets this via PySCF grids, jqc/pyscf/rks.py:100-177).
+        if self.prune:
+            tiers = ((0.25, 3), (0.5, 2), (4.5, 1), (np.inf, 2))
+        else:
+            tiers = ((np.inf, 1),)
+        ang = {}
+        for _, div in tiers:
+            if div not in ang:
+                nt = max(6, int(round(self.n_theta / div)))
+                nph = (
+                    2 * nt if self.n_phi == 2 * self.n_theta
+                    else max(6, int(round(self.n_phi / div)))
+                )
+                ang[div] = angular_product_grid(nt, nph)
         for ia in range(mol.natm):
             R = radii[ia] * (0.5 if zs[ia] > 1 else 1.0)
             r, wr = gauss_chebyshev_becke(self.n_rad, R)
-            if self.prune:
-                # light radial pruning: small angular grid in the core
-                # region (r < 0.3 R_atom), full grid outside -- the same
-                # idea as PySCF's nwchem_prune, data-free
-                core = r < 0.3 * radii[ia]
-            else:
-                core = np.zeros_like(r, bool)
-            for sel, (s, wa) in ((core, (sph_small, wang_small)),
-                                 (~core, (sph, wang))):
+            edges = np.array([e for e, _ in tiers]) * radii[ia]
+            region = np.searchsorted(edges, r, side="right")
+            region = np.minimum(region, len(tiers) - 1)
+            for t, (_, div) in enumerate(tiers):
+                sel = region == t
                 rsel = r[sel]
                 if len(rsel) == 0:
                     continue
+                s, wa = ang[div]
                 p = (
                     mol.coords[ia][None, None, :]
                     + rsel[:, None, None] * s[None, :, :]

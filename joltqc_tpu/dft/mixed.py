@@ -271,16 +271,26 @@ def _pack_dev(pack):
 
 
 def eval_rho_mixed(ni: NumInt, grids, dm_int, family, layout,
-                   cutoff_fp64: float = 1e-6, block_sel=None):
-    """rho rows with fp32 bulk + DF64 heavy-pair tier (dense path)."""
+                   cutoff_fp64: float = 1e-6, block_sel=None, bulk=None):
+    """rho rows with fp32 bulk + DF64 heavy-pair tier.
+
+    ``bulk``: optional f32 bulk evaluator ``bulk(dm, block_sel) -> rho``
+    (defaults to the dense MXU path; the RKS driver passes the screened
+    sparse evaluator here so mixed precision composes with AO screening,
+    matching the reference's nz-list + precision-window composition,
+    /root/reference/jqc/backend/dft/eval_rho.cu:93-106)."""
     from .numint import _select_blocks, eval_rho_all
 
     family = _family_arg(family)
+    if bulk is None:
+        def bulk(d, sel):
+            return eval_rho_all(ni, grids, d, family, block_sel=sel)
+
     D = layout.dm_cond(dm_int)
     wlog = np.log(np.maximum(D, 1e-300))
     ish, jsh = heavy_shell_pairs(layout, wlog, cutoff_fp64)
     if len(ish) == 0:
-        return eval_rho_all(ni, grids, dm_int, family, block_sel=block_sel)
+        return bulk(dm_int, block_sel)
 
     # exclusive split of the density matrix over AO index blocks
     mask = np.zeros_like(dm_int, dtype=bool)
@@ -288,9 +298,7 @@ def eval_rho_mixed(ni: NumInt, grids, dm_int, family, layout,
     for I, J in zip(ish, jsh):
         mask[al[I]:al[I + 1], al[J]:al[J + 1]] = True
         mask[al[J]:al[J + 1], al[I]:al[I + 1]] = True
-    rho = eval_rho_all(
-        ni, grids, np.where(mask, 0.0, dm_int), family, block_sel=block_sel
-    )
+    rho = bulk(np.where(mask, 0.0, dm_int), block_sel)
 
     pack = _pair_pack(layout, ish, jsh)
     dmp = np.zeros(len(pack["ai"]))
@@ -315,12 +323,18 @@ def eval_rho_mixed(ni: NumInt, grids, dm_int, family, layout,
 
 
 def eval_vxc_mixed(ni: NumInt, grids, wv, family, layout,
-                   cutoff_fp64: float = 1e-6, block_sel=None):
-    """V_xc with fp32 bulk + DF64 overwrite of heavy entries."""
+                   cutoff_fp64: float = 1e-6, block_sel=None, bulk=None):
+    """V_xc with fp32 bulk + DF64 overwrite of heavy entries.
+
+    ``bulk``: optional f32 bulk evaluator ``bulk(wv, block_sel) -> mat``
+    (defaults dense; the RKS driver passes the screened evaluator)."""
     from .numint import _select_blocks, eval_vxc_mat
 
     family = _family_arg(family)
-    mat = eval_vxc_mat(ni, grids, wv, family, block_sel=block_sel)
+    if bulk is None:
+        mat = eval_vxc_mat(ni, grids, wv, family, block_sel=block_sel)
+    else:
+        mat = bulk(wv, block_sel)
     # pairing weight: integrated |wv| (the sum the matrix element sees)
     wsum = float(np.sum(np.abs(wv))) + 1e-300
     wlog = np.full((layout.nbas, layout.nbas), np.log(wsum))

@@ -189,8 +189,30 @@ def _ao_sub(tables, gidx_blk, grid, deriv):
     return outs
 
 
-def eval_rho_screened(ni: NumInt, scr: GridScreening, dm_int, family):
-    """rho rows (1|4|5, N) via the bucketed sparse path."""
+def _pack_positions(pack, block_sel):
+    """Pack-local positions of the selected global block ids, pow2-padded
+    by repetition (repeats are harmless for rho -- same value rewritten --
+    and are zero-weighted for vxc).  None if the selection misses the
+    pack entirely."""
+    if block_sel is None:
+        return None  # full pack
+    sel = np.isin(pack["blocks"], np.asarray(block_sel, np.int64))
+    pos = np.nonzero(sel)[0].astype(np.int64)
+    if len(pos) == 0:
+        return np.empty(0, np.int64)
+    npad = _next_pow2(len(pos)) - len(pos)
+    if npad:
+        pos = np.concatenate([pos, np.full(npad, pos[0], np.int64)])
+    return pos
+
+
+def eval_rho_screened(ni: NumInt, scr: GridScreening, dm_int, family,
+                      block_sel=None):
+    """rho rows (1|4|5, N) via the bucketed sparse path.
+
+    ``block_sel``: optional iterable of global grid-block ids -- only
+    those blocks are evaluated (incremental DFT; unselected blocks
+    return 0 rows)."""
     family = _family_arg(family)
     deriv = 0 if family == "lda" else 1
     rows = {"lda": 1, "gga": 4, "mgga": 5}[family]
@@ -203,7 +225,11 @@ def eval_rho_screened(ni: NumInt, scr: GridScreening, dm_int, family):
     out = np.zeros((rows, len(scr.blocks) * B))
 
     for pack in scr.packed:
-        key = ("rho_s", pack["W"], len(pack["blocks"]), family)
+        pos = _pack_positions(pack, block_sel)
+        if pos is not None and len(pos) == 0:
+            continue
+        nb_eff = len(pack["blocks"]) if pos is None else len(pos)
+        key = ("rho_s", pack["W"], nb_eff, family)
         if key not in ni._fns:
 
             def fn(blocks, gidx, cols, dm, _tables=tables):
@@ -233,11 +259,18 @@ def eval_rho_screened(ni: NumInt, scr: GridScreening, dm_int, family):
                 return o
 
             ni._fns[key] = jax.jit(fn)
-        blks = pack["blocks"]
+        if pos is None:
+            blks = pack["blocks"]
+            gidx = pack["gidx"]
+            cols = pack["cols"]
+        else:
+            blks = pack["blocks"][pos]
+            gidx = [g[pos] for g in pack["gidx"]]
+            cols = pack["cols"][pos]
         got = ni._fns[key](
             jnp.asarray(scr.blocks[blks], jnp.float32),
-            tuple(jnp.asarray(g) for g in pack["gidx"]),
-            jnp.asarray(pack["cols"]),
+            tuple(jnp.asarray(g) for g in gidx),
+            jnp.asarray(cols),
             dm_dev,
         )
         got = np.asarray(got, np.float64)  # (nb, rows, B)
@@ -246,8 +279,12 @@ def eval_rho_screened(ni: NumInt, scr: GridScreening, dm_int, family):
     return out[:, : scr.npts]
 
 
-def eval_vxc_screened(ni: NumInt, scr: GridScreening, wv, family):
-    """V_xc matrix via the bucketed sparse path (limb accumulation)."""
+def eval_vxc_screened(ni: NumInt, scr: GridScreening, wv, family,
+                      block_sel=None):
+    """V_xc matrix via the bucketed sparse path (limb accumulation).
+
+    ``block_sel``: optional global block-id selection (incremental DFT);
+    repeated pad positions are zero-weighted so the sum stays exact."""
     family = _family_arg(family)
     deriv = 0 if family == "lda" else 1
     tables = _gather_group_tables(ni)
@@ -261,7 +298,11 @@ def eval_vxc_screened(ni: NumInt, scr: GridScreening, wv, family):
     acc = df.const(0.0, (size,))
     for pack in scr.packed:
         W = pack["W"]
-        key = ("vxc_s", W, len(pack["blocks"]), family)
+        pos = _pack_positions(pack, block_sel)
+        if pos is not None and len(pos) == 0:
+            continue
+        nb_eff = len(pack["blocks"]) if pos is None else len(pos)
+        key = ("vxc_s", W, nb_eff, family)
         if key not in ni._fns:
 
             def fn(blocks, gidx, cols, wvb, _tables=tables):
@@ -307,15 +348,35 @@ def eval_vxc_screened(ni: NumInt, scr: GridScreening, wv, family):
                 return hi[:size], lo[:size]
 
             ni._fns[key] = jax.jit(fn)
-        blks = pack["blocks"]
-        wv_blocks = (
-            wvp.reshape(rows, len(scr.blocks), B)
-            .transpose(1, 0, 2)[blks]
-        )
+        if pos is None:
+            blks = pack["blocks"]
+            gidx = pack["gidx"]
+            cols = pack["cols"]
+            wv_blocks = (
+                wvp.reshape(rows, len(scr.blocks), B)
+                .transpose(1, 0, 2)[blks]
+            )
+        else:
+            blks = pack["blocks"][pos]
+            gidx = [g[pos] for g in pack["gidx"]]
+            cols = pack["cols"][pos]
+            wv_blocks = (
+                wvp.reshape(rows, len(scr.blocks), B)
+                .transpose(1, 0, 2)[blks]
+            )
+            # zero out repeated pad positions so each selected block
+            # contributes exactly once to the accumulation
+            first = np.zeros(len(pos), bool)
+            seen = set()
+            for k, p in enumerate(pos):
+                if p not in seen:
+                    first[k] = True
+                    seen.add(p)
+            wv_blocks = np.where(first[:, None, None], wv_blocks, 0.0)
         hi, lo = ni._fns[key](
             jnp.asarray(scr.blocks[blks], jnp.float32),
-            tuple(jnp.asarray(g) for g in pack["gidx"]),
-            jnp.asarray(pack["cols"]),
+            tuple(jnp.asarray(g) for g in gidx),
+            jnp.asarray(cols),
             jnp.asarray(wv_blocks, jnp.float32),
         )
         acc = df.add(acc, df.DF64(hi, lo))

@@ -337,30 +337,14 @@ _install_b97()
 _FAM_ORDER = {"lda": 0, "gga": 1, "mgga": 2}
 
 
-# functionals whose parameter tables could not be verified against the
-# publication in this environment (dft/xc_data.py provenance notes);
-# selecting one raises unless explicitly opted in, so users cannot
-# silently run a functional that may not be what its name promises
-_UNVERIFIED = {"wb97m-v"}
-_ALLOW_UNVERIFIED = False
-
-
-def allow_unverified_functionals(enable: bool = True):
-    """Opt in to functionals whose parameter data is UNVERIFIED-DATA."""
-    global _ALLOW_UNVERIFIED
-    _ALLOW_UNVERIFIED = bool(enable)
-
-
 def parse_xc(xc_code: str) -> XCInfo:
-    """Return the XCInfo for a functional code ('name' or 'x_part,c_part')."""
+    """Return the XCInfo for a functional code ('name' or 'x_part,c_part').
+
+    Every registered functional's parameter data is anchor-verified (see
+    dft/xc_data.py provenance notes); a from-memory wb97m-v table failed
+    its published-anchor verification and was deleted rather than gated
+    (round-2 verdict item 9), so unknown names simply raise below."""
     key = xc_code.strip().lower()
-    if key in _UNVERIFIED and not _ALLOW_UNVERIFIED:
-        raise NotImplementedError(
-            f"XC functional '{key}' ships UNVERIFIED parameter data (see "
-            "dft/xc_data.py provenance notes); call "
-            "joltqc_tpu.dft.xc.allow_unverified_functionals() to use it "
-            "anyway"
-        )
     if key in _ALIASES:
         return _ALIASES[key]
     if key in _COMPONENTS:

@@ -23,12 +23,17 @@ Provenance / verification status:
  - wB97X-V:  Mardirossian & Head-Gordon, PCCP 16, 9904 (2014), Table 3.
              10-parameter form: 3 exchange + 2 css + 2 cos (+ cx_sr,
              omega, VV10 b, C).
- - wB97M-V:  Mardirossian & Head-Gordon, JCP 144, 214110 (2016), Table 3.
-             UNVERIFIED-DATA: the sparse (i,j) term selection below is
-             reconstructed from memory of the paper and must be checked
-             against the publication or a libxc dump before production
-             use (the machinery is exact; only these numbers are at
-             risk).  Energy-parity tests are gated accordingly.
+ - wB97M-V:  REMOVED.  A from-memory reconstruction of the JCP 144,
+             214110 (2016) Table 3 data was tested against the published
+             H2O/def2-tzvpp SCF anchor -76.4334218842 (ref
+             test_dft.py:105) with the full self-consistent pipeline
+             (the B3LYP control on the same pipeline matched its anchor
+             to 4.5e-8 Ha) and missed by +1.06 Ha -- the recalled term
+             selection/coefficients are wrong.  Per the round-2 verdict
+             (verify or delete), the alias was deleted rather than
+             shipped; the mGGA B97 series machinery (dft/xc.py) remains
+             and takes a verified parameter set whenever one can be
+             sourced.
 """
 
 B97_GAMMA = (0.004, 0.2, 0.006)
@@ -54,32 +59,6 @@ FUNCTIONALS = {
         css=[0.556, -0.257],
         cos=[1.219, -1.850],
         hyb=0.167,
-        alpha=1.0,
-        omega=0.3,
-        nlc=(6.0, 0.01),
-    ),
-    # wB97M-V: RSH meta-GGA + VV10. SR-HF 15%, LR-HF 100%, omega=0.3.
-    # UNVERIFIED-DATA -- see module docstring.
-    "wb97m-v": dict(
-        family="mgga",
-        series="mgga",
-        x={(0, 0): 0.85, (1, 0): 1.007, (0, 1): 0.259},
-        css={
-            (0, 0): 0.443,
-            (1, 0): -1.437,
-            (0, 4): -4.535,
-            (1, 3): -0.640,
-            (4, 3): 0.559,
-        },
-        cos={
-            (0, 0): 1.000,
-            (1, 0): 1.358,
-            (2, 0): 2.924,
-            (0, 6): -8.812,
-            (1, 6): -1.390,
-            (6, 1): 9.142,
-        },
-        hyb=0.15,
         alpha=1.0,
         omega=0.3,
         nlc=(6.0, 0.01),

@@ -48,10 +48,15 @@ from .harmonics import cart_components
 from .md import eri_scalar_g_rows, make_pair_data_c, tri_set
 
 _LANE = 128
-# scalar-assembly term cap for the Pallas path (Mosaic program size is
+# scalar-assembly term cap PER FRAGMENT program (Mosaic program size is
 # roughly proportional; beyond this the compile time and instruction
 # cache pressure outweigh the VMEM-residency win)
 _PALLAS_ASM_MAX = int(os.environ.get("JQC_PALLAS_ASM_MAX", "20000"))
+# max output fragments per class chunk: each fragment is its own
+# pallas_call inside the traced scan body (no host dispatch), but the
+# Hermite-R/E prelude is recomputed per fragment, so very-high-l classes
+# whose assembly would need hundreds of fragments fall back to XLA
+_PALLAS_MAX_FRAGS = int(os.environ.get("JQC_PALLAS_MAX_FRAGS", "24"))
 # VMEM live-set budget (bytes) used by the static eligibility estimate
 _VMEM_BUDGET = int(os.environ.get("JQC_PALLAS_VMEM", str(10 << 20)))
 # Mosaic scoped-VMEM limit passed to the compiler.  The default scoped
@@ -66,39 +71,104 @@ def _nf(l):
     return len(cart_components(l))
 
 
-def _asm_cost(ls):
+def _class_dims(ls):
     lab, lcd = ls[0] + ls[1], ls[2] + ls[3]
     nfab = _nf(ls[0]) * _nf(ls[1])
     nfcd = _nf(ls[2]) * _nf(ls[3])
     NTab = len(tri_set(lab)[0])
     NTcd = len(tri_set(lcd)[0])
-    return NTab * nfcd * NTcd + nfab * NTab * nfcd
+    return nfab, nfcd, NTab, NTcd
+
+
+def _frag_live(tier, ls, Fab, Fcd, I, T):
+    """VMEM live-set estimate (bytes) of one fragment program."""
+    isdf = tier in ("df64", "fp64")
+    NR = len(tri_set(sum(ls))[0])
+    _, _, NTab, NTcd = _class_dims(ls)
+    # out rows + S block + one fab's EB products + R dict (x2: the
+    # recurrence keeps two levels live) + pair data / Boys transients
+    live = Fab * Fcd + Fcd * I + I + 2 * NR + 64
+    return live * T * 4 * (2 if isdf else 1)
+
+
+@lru_cache(maxsize=None)
+def _fragment_plan(tier, ls, T):
+    """Output-fragment decomposition for one class, or None (XLA path).
+
+    Each fragment is (fab0, fab1, fcd0, fcd1, itb0, itb1): the kernel
+    assembles output components fab0:fab1 x fcd0:fcd1 restricted to
+    bra-Hermite terms itb0:itb1; itb fragments are partial sums.  The
+    TPU analogue of the reference's 1qnt fragment scheme solver
+    (/root/reference/jqc/backend/jk_1qnt.py:71-170) -- but solved
+    analytically against a program-size cap + VMEM budget instead of a
+    per-device timing table.
+
+    Fragmenting over fcd keeps the ket contraction S[itb][fcd] (the
+    dominant cost at high l) un-duplicated; fab / itb splits are used
+    only when a single fcd column still exceeds the caps.
+    """
+    nfab, nfcd, NTab, NTcd = _class_dims(ls)
+    C = _PALLAS_ASM_MAX
+
+    def cost(Fab, Fcd, I):
+        return I * Fcd * NTcd + Fab * I * Fcd
+
+    Fab, Fcd, I = nfab, nfcd, NTab
+    if cost(Fab, Fcd, I) > C:
+        Fcd = max(0, C // (NTab * (NTcd + nfab)))
+        if Fcd == 0:
+            Fcd = 1
+            Fab = max(0, C // NTab - NTcd)
+            if Fab == 0:
+                Fab = 1
+                I = max(1, C // (NTcd + 1))
+    # shrink further while over the VMEM budget
+    while _frag_live(tier, ls, Fab, Fcd, I, T) > _VMEM_BUDGET:
+        if Fcd > 1:
+            Fcd = (Fcd + 1) // 2
+        elif Fab > 1:
+            Fab = (Fab + 1) // 2
+        elif I > 1:
+            I = (I + 1) // 2
+        else:
+            return None
+    nfr = (
+        -(-nfab // Fab) * -(-nfcd // Fcd) * -(-NTab // I)
+    )
+    if nfr > _PALLAS_MAX_FRAGS:
+        return None
+    frags = []
+    for a0 in range(0, nfab, Fab):
+        for c0 in range(0, nfcd, Fcd):
+            for i0 in range(0, NTab, I):
+                frags.append(
+                    (a0, min(a0 + Fab, nfab), c0, min(c0 + Fcd, nfcd),
+                     i0, min(i0 + I, NTab))
+                )
+    return tuple(frags)
 
 
 def pallas_supported(tier, ls, nprims, T) -> bool:
     """Static eligibility of the Pallas kernel for this class/batch."""
     if T % _LANE:
         return False
-    if _asm_cost(ls) > _PALLAS_ASM_MAX:
-        return False
-    isdf = tier in ("df64", "fp64")
-    # live-set estimate: output rows + Hermite R set + pair data/Boys
-    L = sum(ls)
-    nfg = _nf(ls[0]) * _nf(ls[1]) * _nf(ls[2]) * _nf(ls[3])
-    live = nfg + len(tri_set(L)[0]) + 64
-    bytes_needed = live * T * 4 * (2 if isdf else 1)
-    return bytes_needed <= _VMEM_BUDGET
+    return _fragment_plan(tier, ls, T) is not None
 
 
 @lru_cache(maxsize=None)
-def _kernel_fn(tier, ls, nprims, omega, T2):
-    """Build the traced kernel body for one (class, tier, chunk-shape)."""
+def _kernel_fn(tier, ls, nprims, omega, T2, frag=None):
+    """Build the traced kernel body for one (class, tier, chunk-shape,
+    output fragment)."""
     ar = get_arith(tier)
     isdf = tier in ("df64", "fp64")
     npa, npb, npc, npd = nprims
     nq_bcd = npb * npc * npd
     nq_cd = npc * npd
-    nfg = _nf(ls[0]) * _nf(ls[1]) * _nf(ls[2]) * _nf(ls[3])
+    if frag is None:
+        nfab, nfcd, NTab, _ = _class_dims(ls)
+        frag = (0, nfab, 0, nfcd, 0, NTab)
+    a0, a1, c0, c1, i0, i1 = frag
+    nfg = (a1 - a0) * (c1 - c0)
 
     from jax.experimental import pallas as pl
 
@@ -136,7 +206,11 @@ def _kernel_fn(tier, ls, nprims, omega, T2):
 
         pdata = make_pair_data_c(ar, Ac, Bc, ea, eb, ar.mul(ca, cb))
         qdata = make_pair_data_c(ar, Cc, Dc, ec, ed, ar.mul(cc, cd))
-        rows, _, _ = eri_scalar_g_rows(ar, ls, pdata, qdata, omega)
+        rows, _, _ = eri_scalar_g_rows(
+            ar, ls, pdata, qdata, omega,
+            fab_sel=range(a0, a1), fcd_sel=range(c0, c1),
+            itb_sel=range(i0, i1),
+        )
 
         @pl.when(q == 0)
         def _():
@@ -172,7 +246,6 @@ def eri_chunk_pallas(tier, ls, nprims, quartet, omega: float = 0.0):
     npq = npa * npb * npc * npd
     nfab = _nf(ls[0]) * _nf(ls[1])
     nfcd = _nf(ls[2]) * _nf(ls[3])
-    nfg = nfab * nfcd
     T = ar.hi(quartet["exps_a"]).shape[0]
     T2 = T // _LANE
 
@@ -194,8 +267,6 @@ def eri_chunk_pallas(tier, ls, nprims, quartet, omega: float = 0.0):
     for name, np_x in zip("abcd", nprims):
         inputs += stack_center(name, np_x)
 
-    kernel = _kernel_fn(tier, ls, nprims, float(omega or 0.0), T2)
-
     def spec(k):
         return pl.BlockSpec(
             (k, T2, _LANE), lambda q: (0, 0, 0), memory_space=pltpu.VMEM
@@ -206,25 +277,64 @@ def eri_chunk_pallas(tier, ls, nprims, quartet, omega: float = 0.0):
         k = 3 + 2 * np_x
         in_specs += [spec(k)] * (2 if isdf else 1)
     n_out = 2 if isdf else 1
-    out_shape = [jax.ShapeDtypeStruct((nfg, T2, _LANE), jnp.float32)] * n_out
 
-    outs = pl.pallas_call(
-        kernel,
-        grid=(npq,),
-        in_specs=in_specs,
-        out_specs=[spec(nfg)] * n_out,
-        out_shape=out_shape,
-        interpret=jax.default_backend() == "cpu",
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(*inputs)
+    frags = _fragment_plan(tier, ls, T)
+    assert frags is not None, (tier, ls, T)
 
-    def unstack(x):
-        # (nfg, T2, LANE) -> (T, nfab, nfcd)
-        return jnp.moveaxis(x.reshape(nfg, T), 0, -1).reshape(T, nfab, nfcd)
+    def run_frag(frag):
+        a0, a1, c0, c1, _, _ = frag
+        nfg = (a1 - a0) * (c1 - c0)
+        kernel = _kernel_fn(tier, ls, nprims, float(omega or 0.0), T2, frag)
+        out_shape = [
+            jax.ShapeDtypeStruct((nfg, T2, _LANE), jnp.float32)
+        ] * n_out
+        return pl.pallas_call(
+            kernel,
+            grid=(npq,),
+            in_specs=in_specs,
+            out_specs=[spec(nfg)] * n_out,
+            out_shape=out_shape,
+            interpret=jax.default_backend() == "cpu",
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        )(*inputs)
+
+    # one pallas_call per fragment INSIDE the traced scan body (device-
+    # side ops: no host dispatch per fragment); itb partials sum (DF64:
+    # compensated two-sum), then the (fab, fcd) block grid is stitched
+    blocks = {}
+    for frag in frags:
+        a0, a1, c0, c1, _, _ = frag
+        outs = run_frag(frag)
+        cur = df.DF64(outs[0], outs[1]) if isdf else outs[0]
+        key = (a0, c0)
+        if key in blocks:
+            blocks[key] = (
+                df.add(blocks[key], cur) if isdf else blocks[key] + cur
+            )
+        else:
+            blocks[key] = cur
+
+    fab_starts = sorted({a0 for (a0, _) in blocks})
+    fcd_starts = sorted({c0 for (_, c0) in blocks})
+    fdims = {(f[0], f[2]): (f[1] - f[0], f[3] - f[2]) for f in frags}
+
+    def assemble(pick):
+        # blocks of (Fa*Fc, T2, LANE) -> (T, nfab, nfcd)
+        fab_rows = []
+        for a0 in fab_starts:
+            row = []
+            for c0 in fcd_starts:
+                Fa, Fc = fdims[(a0, c0)]
+                row.append(pick(blocks[(a0, c0)]).reshape(Fa, Fc, T))
+            fab_rows.append(jnp.concatenate(row, axis=1) if len(row) > 1
+                            else row[0])
+        full = (jnp.concatenate(fab_rows, axis=0) if len(fab_rows) > 1
+                else fab_rows[0])  # (nfab, nfcd, T)
+        return jnp.moveaxis(full, -1, 0)
 
     if isdf:
-        return df.DF64(unstack(outs[0]), unstack(outs[1]))
-    return unstack(outs[0])
+        return df.DF64(assemble(lambda b: b.hi), assemble(lambda b: b.lo))
+    return assemble(lambda b: b)
 
 
 __all__ = ["eri_chunk_pallas", "pallas_supported"]

@@ -523,19 +523,35 @@ def _stack_scalar(ar, rows, shape):
     return jnp.stack(vals, axis=-1).reshape(probe.shape + shape)
 
 
-def _e_rows(ar, li, lj, inv2p, xpa, xpb, epref):
-    """Scalar E products: flat rows list (len nf_ij * NT_ab) + dims."""
-    lab = li + lj
+def _e_dicts(ar, li, lj, inv2p, xpa, xpb, epref):
+    """Per-dimension scalar E dicts (x seeded with the 3D prefactor)."""
     Ex = e_scalar(ar, li, lj, inv2p, xpa[0], xpb[0], seed=epref)
     Ey = e_scalar(ar, li, lj, inv2p, xpa[1], xpb[1])
     Ez = e_scalar(ar, li, lj, inv2p, xpa[2], xpb[2])
+    return Ex, Ey, Ez
+
+
+def _comp_pairs(li, lj):
+    """Flattened (comp_a, comp_b) exponent-triple pairs, slot order."""
+    return [
+        (ca, cb) for ca in cart_components(li) for cb in cart_components(lj)
+    ]
+
+
+def _e_rows(ar, li, lj, inv2p, xpa, xpb, epref, sel=None):
+    """Scalar E products: flat rows list (len nf_sel * NT_ab) + dims.
+
+    ``sel``: optional iterable of flat component-pair indices -- only
+    those pairs' rows are computed (fragmented Pallas assembly)."""
+    lab = li + lj
+    Ex, Ey, Ez = _e_dicts(ar, li, lj, inv2p, xpa, xpb, epref)
     tri, _ = tri_set(lab)
-    compsa = cart_components(li)
-    compsb = cart_components(lj)
+    pairs = _comp_pairs(li, lj)
+    if sel is not None:
+        pairs = [pairs[s] for s in sel]
     rows = []
-    for (iax, iay, iaz) in compsa:
-        for (ibx, iby, ibz) in compsb:
-            for (t, u, v) in tri:
+    for (iax, iay, iaz), (ibx, iby, ibz) in pairs:
+        for (t, u, v) in tri:
                 ex = Ex.get((iax, ibx, t))
                 ey = Ey.get((iay, iby, u))
                 ez = Ez.get((iaz, ibz, v))
@@ -550,8 +566,7 @@ def _e_rows(ar, li, lj, inv2p, xpa, xpb, epref):
                 for p in parts[1:]:
                     acc = ar.mul(acc, p)
                 rows.append(acc)
-    nf = len(compsa) * len(compsb)
-    return rows, nf, len(tri)
+    return rows, len(pairs), len(tri)
 
 
 def _e_box(ar, li, lj, inv2p, xpa, xpb, epref):
@@ -560,16 +575,12 @@ def _e_box(ar, li, lj, inv2p, xpa, xpb, epref):
     return _stack_scalar(ar, rows, (nf, nt))
 
 
-def _eri_scalar_prelude(ar, ls, pdata, qdata, omega: float):
-    """Shared prologue of the scalarized ERI assembly.
+def _eri_scalar_core(ar, ls, pdata, qdata, omega: float):
+    """Class-independent prologue: Hermite R dict, 1/2p, 1/2q, prefactor.
 
-    Returns (R dict, (rowsB, nfab, NTab), (rowsD, nfcd, NTcd), signs,
-    pref) where ``pref`` includes the 2 pi^{5/2}/(pq sqrt(p+q)) factor,
-    the contraction coefficients, and the range-separation scale."""
-    la, lb, lc, ld = ls
-    lab, lcd = la + lb, lc + ld
-    L = lab + lcd
-
+    ``pref`` includes the 2 pi^{5/2}/(pq sqrt(p+q)) factor, the
+    contraction coefficients, and the range-separation scale."""
+    L = sum(ls)
     p, q = pdata["p"], qdata["p"]
     pq_sum = ar.add(p, q)
     theta = ar.div(ar.mul(p, q), pq_sum)
@@ -587,13 +598,6 @@ def _eri_scalar_prelude(ar, ls, pdata, qdata, omega: float):
 
     inv2p = ar.scale_pow2(ar.recip(p), 0.5)
     inv2q = ar.scale_pow2(ar.recip(q), 0.5)
-    rowsB, nfab, NTab = _e_rows(
-        ar, la, lb, inv2p, pdata["xpa"], pdata["xpb"], pdata["epref"]
-    )
-    rowsD, nfcd, NTcd = _e_rows(
-        ar, lc, ld, inv2q, qdata["xpa"], qdata["xpb"], qdata["epref"]
-    )
-    signs = ket_signs(lcd)
 
     Tshape = ar.hi(p).shape
     pref = ar.mul(
@@ -603,25 +607,65 @@ def _eri_scalar_prelude(ar, ls, pdata, qdata, omega: float):
     if rs_fac is not None:
         pref = ar.mul(pref, rs_fac)
     pref = ar.mul(pref, ar.mul(pdata["coef"], qdata["coef"]))
-    return R, (rowsB, nfab, NTab), (rowsD, nfcd, NTcd), signs, pref
+    return R, inv2p, inv2q, pref
 
 
-def eri_scalar_g_rows(ar, ls, pdata, qdata, omega: float = 0.0):
-    """Fully-scalar ERI assembly: flat list of nfab*nfcd rows, each a
-    (T,)-shaped ar value (or None for an identically-zero component),
-    with the prefactor and coefficients already folded in.
+def _eri_scalar_prelude(ar, ls, pdata, qdata, omega: float):
+    """Shared prologue of the stacked scalarized ERI assembly.
+
+    Returns (R dict, (rowsB, nfab, NTab), (rowsD, nfcd, NTcd), signs,
+    pref)."""
+    la, lb, lc, ld = ls
+    R, inv2p, inv2q, pref = _eri_scalar_core(ar, ls, pdata, qdata, omega)
+    rowsB, nfab, NTab = _e_rows(
+        ar, la, lb, inv2p, pdata["xpa"], pdata["xpb"], pdata["epref"]
+    )
+    rowsD, nfcd, NTcd = _e_rows(
+        ar, lc, ld, inv2q, qdata["xpa"], qdata["xpb"], qdata["epref"]
+    )
+    return R, (rowsB, nfab, NTab), (rowsD, nfcd, NTcd), ket_signs(lc + ld), pref
+
+
+def eri_scalar_g_rows(ar, ls, pdata, qdata, omega: float = 0.0,
+                      fab_sel=None, fcd_sel=None, itb_sel=None):
+    """Fully-scalar ERI assembly: flat list of rows (fab-major over the
+    selected fcd components), each a (T,)-shaped ar value (or None for
+    an identically-zero component), with the prefactor and coefficients
+    already folded in.
 
     This is the Pallas-kernel-friendly form (ops/eri_pallas.py): no
     stacks, no bmm, no minor-dim tensors -- every value keeps the task
-    batch as its only dimensions."""
-    lab, lcd = ls[0] + ls[1], ls[2] + ls[3]
+    batch as its only dimensions.
+
+    ``fab_sel`` / ``fcd_sel`` / ``itb_sel`` restrict the assembly to an
+    output FRAGMENT (the TPU analogue of the reference's 1qnt per-thread
+    fragment tiling, /root/reference/jqc/backend/jk_1qnt.py:71-170):
+    only the selected bra/ket component pairs are assembled, and only
+    bra-Hermite terms in ``itb_sel`` are accumulated -- partial results
+    over complementary itb fragments sum to the full row (used to bound
+    the per-kernel program size and VMEM live set for high-l classes).
+    """
+    la, lb, lc, ld = ls
+    lab, lcd = la + lb, lc + ld
     tri_ab, _ = tri_set(lab)
     tri_cd, _ = tri_set(lcd)
-    R, (rowsB, nfab, NTab), (rowsD, nfcd, NTcd), signs, pref = (
-        _eri_scalar_prelude(ar, ls, pdata, qdata, omega)
+    nfab_full = len(cart_components(la)) * len(cart_components(lb))
+    nfcd_full = len(cart_components(lc)) * len(cart_components(ld))
+    fab_sel = range(nfab_full) if fab_sel is None else list(fab_sel)
+    fcd_sel = range(nfcd_full) if fcd_sel is None else list(fcd_sel)
+    itb_sel = range(len(tri_ab)) if itb_sel is None else list(itb_sel)
+    signs = ket_signs(lcd)
+
+    R, inv2p, inv2q, pref = _eri_scalar_core(ar, ls, pdata, qdata, omega)
+    rowsD, nsel_cd, NTcd = _e_rows(
+        ar, lc, ld, inv2q, qdata["xpa"], qdata["xpb"], qdata["epref"],
+        sel=fcd_sel,
     )
-    EB2 = [rowsB[f * NTab : (f + 1) * NTab] for f in range(nfab)]
-    ED2 = [rowsD[f * NTcd : (f + 1) * NTcd] for f in range(nfcd)]
+    ED2 = [rowsD[f * NTcd : (f + 1) * NTcd] for f in range(nsel_cd)]
+    ExB, EyB, EzB = _e_dicts(
+        ar, la, lb, inv2p, pdata["xpa"], pdata["xpb"], pdata["epref"]
+    )
+    pairsB = _comp_pairs(la, lb)
     one_shape = ar.hi(pdata["p"]).shape
 
     def fma(acc, a, b, negate=False):
@@ -640,27 +684,50 @@ def eri_scalar_g_rows(ar, ls, pdata, qdata, omega: float = 0.0):
             term = ar.neg(term)
         return term if acc is None else ar.add(acc, term)
 
+    # S[local_itb][local_fcd] = sum_itk ED * R  (ket contraction)
     S = []
-    for itb, tb in enumerate(tri_ab):
+    for itb in itb_sel:
+        tb = tri_ab[itb]
         row = []
-        for fcd in range(nfcd):
+        for jf in range(nsel_cd):
             acc = None
             for itk, tk in enumerate(tri_cd):
-                e = ED2[fcd][itk]
+                e = ED2[jf][itk]
                 if e is None:
                     continue
                 r = R[(tb[0] + tk[0], tb[1] + tk[1], tb[2] + tk[2])]
                 acc = fma(acc, e, r, negate=signs[itk] < 0)
             row.append(acc)
         S.append(row)
+
+    # bra contraction; EB row products built lazily PER fab so their
+    # live ranges end with the fab iteration (VMEM liveness)
     g_rows = []
-    for fab in range(nfab):
-        for fcd in range(nfcd):
+    for fab in fab_sel:
+        (iax, iay, iaz), (ibx, iby, ibz) = pairsB[fab]
+        ebs = []
+        for itb in itb_sel:
+            t, u, v = tri_ab[itb]
+            ex = ExB.get((iax, ibx, t))
+            ey = EyB.get((iay, iby, u))
+            ez = EzB.get((iaz, ibz, v))
+            if ex is None or ey is None or ez is None:
+                ebs.append(None)
+                continue
+            parts = [p for p in (ex, ey, ez) if p is not _ONE]
+            if not parts:
+                ebs.append(_ONE)
+                continue
+            acc = parts[0]
+            for p in parts[1:]:
+                acc = ar.mul(acc, p)
+            ebs.append(acc)
+        for jf in range(nsel_cd):
             acc = None
-            for itb in range(NTab):
-                acc = fma(acc, EB2[fab][itb], S[itb][fcd])
+            for ii in range(len(itb_sel)):
+                acc = fma(acc, ebs[ii], S[ii][jf])
             g_rows.append(None if acc is None else ar.mul(acc, pref))
-    return g_rows, nfab, nfcd
+    return g_rows, len(fab_sel), nsel_cd
 
 
 def cart_eri_primitive_s(ar, ls, pdata, qdata, omega: float = 0.0):

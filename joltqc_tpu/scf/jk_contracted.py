@@ -265,7 +265,9 @@ def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
         if accum == "block":
             ja, jb, jc, jd, wc, gs, tb4 = t
         else:
-            ja, jb, jc, jd, wc = t
+            # block-grouped plans carry (gslot, tb4) extras; a scatter
+            # override (multi-dm) just ignores them
+            ja, jb, jc, jd, wc = t[:5]
             gs = tb4 = None
         geom = {}
         for name, tbl, idx in zip("abcd", tables, (ja, jb, jc, jd)):
@@ -366,7 +368,7 @@ def _class_scan_fn(ls, nprims, tier, nao, with_j, with_k, omega=0.0,
 @lru_cache(maxsize=None)
 def _sharded_class_scan_fn(mesh, ls, nprims, tier, nao, with_j, with_k,
                            omega=0.0, n_dm=1, accum="scatter", nrows=0,
-                           tile=8, chunk_b=None):
+                           tile=8, chunk_b=None, n_tasks=5):
     """Multi-chip variant of ``_class_scan_fn``: the task chunks (axis 1,
     the within-chunk batch) are sharded over the mesh's ``tasks`` axis;
     dm / tables / accumulators are replicated; the per-chunk int32 limb
@@ -388,10 +390,12 @@ def _sharded_class_scan_fn(mesh, ls, nprims, tier, nao, with_j, with_k,
             n_dm=n_dm, accum=accum, nrows=nrows, tile=tile, chunk_b=chunk_b,
         )
 
-    if accum == "block":
+    if n_tasks == 7:
         # task tuple = (ia, ib, ic, id, w, gslot, tb4): the within-chunk
         # batch axis of the first six shards over the mesh; the per-chunk
-        # tile-base table tb4 (nchunk, G, 4) is replicated
+        # tile-base table tb4 (nchunk, G, 4) is replicated.  (Present
+        # whenever the PLAN is block-grouped, even if accum was
+        # overridden to scatter for a multi-dm pass.)
         task_specs = (P(None, "tasks"),) * 6 + (P(),)
     else:
         task_specs = (P(None, "tasks"),) * 5
@@ -473,7 +477,7 @@ class JKEngine:
         cutoff_fp64: float = 1e-6,
         mesh=None,
         merge_nprim: bool | None = None,
-        accum: str = "scatter",
+        accum: str = "auto",
         tile: int = 8,
     ):
         self.layout = layout
@@ -484,8 +488,13 @@ class JKEngine:
         # scatter-add; "block" = tile-grouped exact int8 MXU reduction
         # first, then a block-row scatter (ops/accum.py::block_accumulate)
         # -- the per-element scatter serializes on TPU and dominates large
-        # Fock builds.  "block" requires no mesh (sharded path keeps
-        # scatter).  ``tile`` = shell-tile edge S (rows per block = S^2).
+        # Fock builds.  "auto" (default) picks per class from the
+        # per-device autotune table (utils/autotune.py; the analogue of
+        # the reference's per-device scheme files, jqc/backend/data/),
+        # falling back to scatter where untuned.  Multi-dm batches
+        # override block->scatter per entry (the one-hot reduction is
+        # single-dm; batching limbs over dms is future work).
+        # ``tile`` = shell-tile edge S (rows per block = S^2).
         self.accum = accum
         self.tile = tile
         # multi-chip: a jax.sharding.Mesh with a "tasks" axis; task batches
@@ -712,7 +721,14 @@ class JKEngine:
                     ic0 = p2.i_loc[s2]
                     id0 = p2.j_loc[s2]
                     accum, extra = "scatter", None
-                    if self.accum == "block":
+                    want_block = self.accum == "block"
+                    if self.accum == "auto":
+                        from ..utils.autotune import tuned_accum
+
+                        want_block = (
+                            tuned_accum(ls, nprims, tier) == "block"
+                        )
+                    if want_block:
                         # tile-group tasks: 4D shell-tile key, stable sort
                         # (reference contrast: atomicAdd needs no order;
                         # the TPU block accumulator wants tile locality)
@@ -874,18 +890,21 @@ class JKEngine:
                 tables = self._tables(tier)
                 tbls = tuple(tables[k] for k in entry["cls_idx"])
                 chunk_b = int(entry["tasks"][0].shape[1])
+                accum_e = entry.get("accum", "scatter")
+                if n_dm > 1 and accum_e == "block":
+                    accum_e = "scatter"  # block reduction is single-dm
                 if self.mesh is not None:
                     fn = _sharded_class_scan_fn(
                         self.mesh, entry["ls"], entry["nprims"], tier, nao,
                         with_j, with_k, omega, n_dm=n_dm,
-                        accum=entry.get("accum", "scatter"),
+                        accum=accum_e,
                         nrows=entry.get("nrows", 0), tile=self.tile,
-                        chunk_b=chunk_b,
+                        chunk_b=chunk_b, n_tasks=len(entry["tasks"]),
                     )
                 else:
                     fn = _class_scan_fn(
                         entry["ls"], entry["nprims"], tier, nao, with_j,
-                        with_k, omega, accum=entry.get("accum", "scatter"),
+                        with_k, omega, accum=accum_e,
                         nrows=entry.get("nrows", 0), tile=self.tile,
                         n_dm=n_dm, chunk_b=chunk_b,
                     )
@@ -909,7 +928,9 @@ class JKEngine:
                 group = plan[g : g + G]
                 sig = tuple(
                     (e["ls"], e["nprims"], e["tier"],
-                     e.get("accum", "scatter"), e.get("nrows", 0), self.tile)
+                     ("scatter" if n_dm > 1
+                      else e.get("accum", "scatter")),
+                     e.get("nrows", 0), self.tile)
                     for e in group
                 )
                 tables_list = tuple(

@@ -10,12 +10,18 @@ K_eff = hyb*K + (alpha-hyb)*K_lr(omega).
 
 Supports LDA / GGA / meta-GGA (tau) functionals, global hybrids,
 range-separated hybrids, and VV10 nonlocal correlation (defaults pulled
-from the functional's own nlc metadata, e.g. wb97x-v / wb97m-v).
+from the functional's own nlc metadata, e.g. wb97x-v).
 
-Incremental-DFT caching (reference jqc/pyscf/rks.py:290,329-359): rho and
-the XC matrix are evaluated on the FULL dm each cycle for now; the
-delta-dm incremental path is a planned optimization, not a correctness
-feature.
+Incremental-DFT caching (reference jqc/pyscf/rks.py:290,329-359): with
+``incremental=True`` rho / wv / vxcmat are cached and re-evaluated only
+on delta-dm / delta-wv over AABB-selected grid blocks.  Incremental
+evaluation, mixed fp32/DF64 precision (dft/mixed.py), and AO-value
+screening (dft/screening.py) all COMPOSE: the mixed tier takes the
+screened evaluator as its f32 bulk, and both screened evaluators accept
+the incremental block selection -- matching the reference, where the
+nz sparsity lists, the per-pair precision windows, and the incremental
+caches are simultaneously active (jqc/pyscf/rks.py:329-359 +
+backend/dft/eval_rho.cu:93-106).
 """
 
 from __future__ import annotations
@@ -133,7 +139,21 @@ class RKS(RHF):
         need_grad = fam != "lda" or self.nlc is not None
         rho_fam = fam if fam != "lda" or self.nlc is None else "gga"
         scr = self._screening()
-        mixed = self.dft_cutoff_fp64 is not None and scr is None
+        mixed = self.dft_cutoff_fp64 is not None
+
+        # f32 bulk evaluator: screened sparse path when screening pays,
+        # dense MXU path otherwise.  Mixed precision (DF64 heavy pairs)
+        # and incremental delta evaluation COMPOSE with either bulk
+        # (reference: nz lists + precision windows + incremental caching
+        # all active together, /root/reference/jqc/pyscf/rks.py:329-359).
+        def bulk_rho(d, sel=None):
+            if scr is not None:
+                from ..dft.screening import eval_rho_screened
+
+                return eval_rho_screened(
+                    self.ni, scr, d, rho_fam, block_sel=sel
+                )
+            return eval_rho_all(self.ni, self.grids, d, rho_fam, block_sel=sel)
 
         def rho_eval(d, sel=None):
             if mixed:
@@ -141,18 +161,14 @@ class RKS(RHF):
 
                 return eval_rho_mixed(
                     self.ni, self.grids, d, rho_fam, lay,
-                    self.dft_cutoff_fp64, block_sel=sel,
+                    self.dft_cutoff_fp64, block_sel=sel, bulk=bulk_rho,
                 )
-            return eval_rho_all(self.ni, self.grids, d, rho_fam, block_sel=sel)
+            return bulk_rho(d, sel)
 
-        cache = self._dft_cache if self.incremental and scr is None else None
+        cache = self._dft_cache if self.incremental else None
         if cache is not None and cache.get("fam") != rho_fam:
             cache = None
-        if scr is not None:
-            from ..dft.screening import eval_rho_screened
-
-            rho = eval_rho_screened(self.ni, scr, dm_int, rho_fam)
-        elif cache is not None:
+        if cache is not None:
             ddm = dm_int - cache["dm_int"]
             bb = self._block_bounds()
             dlog = np.log(max(np.abs(ddm).max(), 1e-300)) + np.log(
@@ -198,21 +214,26 @@ class RKS(RHF):
         else:
             wv = (w * vr)[None, :]
             vxc_fam = "lda"
+        def bulk_vxc(w, sel=None):
+            if scr is not None:
+                from ..dft.screening import eval_vxc_screened
+
+                return eval_vxc_screened(
+                    self.ni, scr, w, vxc_fam, block_sel=sel
+                )
+            return eval_vxc_mat(self.ni, self.grids, w, vxc_fam, block_sel=sel)
+
         def vxc_eval(w, sel=None):
             if mixed:
                 from ..dft.mixed import eval_vxc_mixed
 
                 return eval_vxc_mixed(
                     self.ni, self.grids, w, vxc_fam, lay,
-                    self.dft_cutoff_fp64, block_sel=sel,
+                    self.dft_cutoff_fp64, block_sel=sel, bulk=bulk_vxc,
                 )
-            return eval_vxc_mat(self.ni, self.grids, w, vxc_fam, block_sel=sel)
+            return bulk_vxc(w, sel)
 
-        if scr is not None:
-            from ..dft.screening import eval_vxc_screened
-
-            vxc_int = eval_vxc_screened(self.ni, scr, wv, vxc_fam)
-        elif cache is not None and cache.get("vxc_fam") == vxc_fam:
+        if cache is not None and cache.get("vxc_fam") == vxc_fam:
             dwv = wv - cache["wv"]
             bb = self._block_bounds()
             B = self.ni.block
@@ -228,7 +249,7 @@ class RKS(RHF):
             )
         else:
             vxc_int = vxc_eval(wv)
-        if self.incremental and scr is None:
+        if self.incremental:
             self._dft_cache = dict(
                 dm_int=dm_int, rho=rho, wv=wv, vxc=vxc_int,
                 fam=rho_fam, vxc_fam=vxc_fam,

@@ -72,11 +72,28 @@ def _key(ls, nprims, tier) -> str:
 
 def tuned_chunk(ls, nprims, tier) -> int | None:
     """Tuned chunk size for a class, or None to use the heuristic."""
-    return load_table().get(_key(ls, nprims, tier))
+    v = load_table().get(_key(ls, nprims, tier))
+    if isinstance(v, dict):
+        return v.get("chunk")
+    return v
 
 
-def _time_class(engine, entry, B: int, repeats: int = 3) -> float:
-    """Seconds per task for one class at chunk size B (median of repeats)."""
+def tuned_accum(ls, nprims, tier) -> str | None:
+    """Tuned accumulation strategy ("scatter" | "block") or None."""
+    v = load_table().get(_key(ls, nprims, tier))
+    if isinstance(v, dict):
+        return v.get("accum")
+    return None
+
+
+def _time_class(engine, entry, B: int | None, repeats: int = 3,
+                outer: int = 4) -> float:
+    """Seconds per task for one class at chunk size B (median of repeats).
+
+    ``B=None`` runs the entry's tasks at their PLAN shape (required for
+    block-grouped entries, whose (gslot, tb4) extras are chunk-layout
+    bound).  ``outer`` async dispatches per timing amortize the PJRT
+    tunnel round trip (CLAUDE.md measurement traps)."""
     import jax
     import jax.numpy as jnp
 
@@ -84,34 +101,49 @@ def _time_class(engine, entry, B: int, repeats: int = 3) -> float:
     from ..scf.jk_contracted import _class_scan_fn
 
     ls, nprims, tier = entry["ls"], entry["nprims"], entry["tier"]
+    accum = entry.get("accum", "scatter") if B is None else "scatter"
     nao = engine.nao
     tables = engine._tables(tier)
     tbls = tuple(tables[k] for k in entry["cls_idx"])
-    # rebuild this class's task list at chunk B (same tasks, new shape)
-    flat = [np.asarray(t).reshape(-1) for t in entry["tasks"]]
-    n = len(flat[0])
-    npad = (-n) % B
-    tasks = tuple(
-        jnp.asarray(
-            np.concatenate([f, np.full(npad, f[-1], f.dtype)]).reshape(-1, B)
+    n = int(entry["ntasks"])
+    if B is None:
+        tasks = tuple(jnp.asarray(np.asarray(t)) for t in entry["tasks"])
+        B_eff = int(np.asarray(entry["tasks"][0]).shape[1])
+    else:
+        # rebuild this class's task list at chunk B (same tasks, new shape)
+        flat = [np.asarray(t).reshape(-1) for t in entry["tasks"][:5]]
+        npad = (-n) % B
+        tasks = tuple(
+            jnp.asarray(
+                np.concatenate(
+                    [f, np.full(npad, f[-1], f.dtype)]
+                ).reshape(-1, B)
+            )
+            for f in flat
         )
-        for f in flat
-    )
+        B_eff = B
     dm = (
         df.const(0.5, (nao, nao))
         if tier in ("df64", "fp64")
         else jnp.full((nao, nao), 0.5, jnp.float32)
     )
     bound = jnp.asarray(np.float32(entry["bound"]))
-    fn = _class_scan_fn(ls, nprims, tier, nao, True, True, 0.0, chunk_b=B)
+    fn = _class_scan_fn(
+        ls, nprims, tier, nao, True, True, 0.0, accum=accum,
+        nrows=entry.get("nrows", 0) if B is None else 0,
+        tile=engine.tile, chunk_b=B_eff,
+    )
 
     def run():
-        vj = df.const(0.0, (nao * nao,))
-        vk = df.const(0.0, (nao * nao,))
-        vj, vk = fn(tbls, tasks, dm, vj, vk, bound)
+        last = None
+        for _ in range(outer):
+            vj = df.const(0.0, (nao * nao,))
+            vk = df.const(0.0, (nao * nao,))
+            vj, vk = fn(tbls, tasks, dm, vj, vk, bound)
+            last = vj
         # force a device->host transfer: block_until_ready does not
         # actually block on the axon platform (CLAUDE.md measurement trap)
-        np.asarray(vj.hi[:1])
+        np.asarray(last.hi[:1])
 
     run()  # compile
     ts = []
@@ -119,18 +151,30 @@ def _time_class(engine, entry, B: int, repeats: int = 3) -> float:
         t0 = time.perf_counter()
         run()
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)) / max(n, 1)
+    return float(np.median(ts)) / max(n, 1) / outer
 
 
 def tune_workload(engine, sizes=(256, 512, 1024, 2048, 4096, 8192),
-                  min_tasks: int = 256, verbose: bool = True) -> dict:
+                  min_tasks: int = 256, verbose: bool = True,
+                  block_engine=None) -> dict:
     """Time every class in the engine's current plan across chunk sizes.
 
     Writes the winning sizes to the per-device table and returns it.
-    ``engine`` must have a built plan (call get_jk once first)."""
+    ``engine`` must have a built plan (call get_jk once first).
+
+    ``block_engine``: optional second engine with ``accum='block'`` and a
+    built plan on the same workload; block-grouped entries are timed
+    against the scatter winner and the faster accumulation strategy is
+    recorded per class (VERDICT r2 item 4: measured block-vs-scatter
+    routing, the analogue of the reference's per-device scheme files)."""
     global _TABLE
     if engine._plan is None:
         raise ValueError("engine has no plan yet -- run get_jk once first")
+    block_by_key = {}
+    if block_engine is not None and block_engine._plan is not None:
+        for e in block_engine._plan:
+            if e.get("accum") == "block":
+                block_by_key[_key(e["ls"], e["nprims"], e["tier"])] = e
     table = dict(load_table())
     for entry in engine._plan:
         if entry["ntasks"] < min_tasks:
@@ -142,11 +186,25 @@ def tune_workload(engine, sizes=(256, 512, 1024, 2048, 4096, 8192),
                 continue
             t = _time_class(engine, entry, B)
             if verbose:
-                print(f"{key:36s} B={B:5d}  {t*1e9:8.1f} ns/task")
+                print(f"{key:36s} B={B:5d}  {t*1e9:8.1f} ns/task",
+                      flush=True)
             if t < best_t:
                 best, best_t = B, t
-        if best is not None:
-            table[key] = best
+        if best is None:
+            continue
+        rec = {"chunk": best, "accum": "scatter"}
+        blk = block_by_key.get(key)
+        if blk is not None:
+            t_blk = _time_class(block_engine, blk, None)
+            if verbose:
+                print(f"{key:36s} block  {t_blk*1e9:8.1f} ns/task "
+                      f"(scatter best {best_t*1e9:.1f})", flush=True)
+            if t_blk < best_t:
+                rec = {
+                    "chunk": int(np.asarray(blk["tasks"][0]).shape[1]),
+                    "accum": "block",
+                }
+        table[key] = rec
     path = _table_path()
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:

@@ -55,13 +55,24 @@ def plan_key(engine, logdm: float, dm_cond_log, omega: float) -> str | None:
         h.update(np.int64([c.l, c.nprim, c.nshell]).tobytes())
         for a in (c.coords, c.exps, c.coefs, c.ao, c.shell_ids):
             h.update(np.ascontiguousarray(a).tobytes())
+    # "auto" accumulation with no block-tuned classes builds the exact
+    # same plan as "scatter": normalize the tag so the (GB-scale) plan
+    # file is shared rather than duplicated
+    from .autotune import load_table
+
+    accum_tag = engine.accum
+    if accum_tag == "auto" and not any(
+        isinstance(v, dict) and v.get("accum") == "block"
+        for v in load_table().values()
+    ):
+        accum_tag = "scatter"
     h.update(
         json.dumps(
             [
                 engine.cutoff_fp32,
                 engine.cutoff_fp64,
                 engine.merge_nprim,
-                engine.accum,
+                accum_tag,
                 engine.tile,
                 engine._ndev,
                 round(float(logdm), 9),

@@ -94,18 +94,22 @@ def test_rks_vs_oracle_h2o(xc):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("xc", ["b97", "wb97x-v", "wb97m-v"])
+@pytest.mark.parametrize("xc", ["b97", "wb97x-v", "b97m-test"])
 def test_rks_rsh_mgga_vs_oracle_h2o(xc):
     """RSH (erf-attenuated K) + mGGA (tau) SCF vs the f64 oracle.
 
     VV10 is switched off on both sides to isolate the RSH/mGGA path
-    (VV10 itself is validated in tests/test_vv10.py)."""
-    if xc == "wb97m-v":
-        # UNVERIFIED parameter data: gated by default (this test checks
-        # SCF machinery self-consistency, which is data-independent)
-        from joltqc_tpu.dft.xc import allow_unverified_functionals
+    (VV10 itself is validated in tests/test_vv10.py).  The mGGA case
+    runs the synthetic registered functional from test_xc_b97 (the
+    shipped wb97m-v data failed anchor verification and was deleted)."""
+    if xc == "b97m-test":
+        from joltqc_tpu.dft import xc as xcmod
+        from joltqc_tpu.dft.xc import XCInfo, _make_b97
+        from test_xc_b97 import _B97M_TEST
 
-        allow_unverified_functionals(True)
+        xcmod._ALIASES["b97m-test"] = XCInfo(
+            "mgga", _make_b97(_B97M_TEST), 0.15, 1.0, 0.3, (6.0, 0.01)
+        )
     mol = Molecule.from_atom_string(H2O)
     grids = Grids(mol, n_rad=50, n_theta=12).build()
     e_ref = oracle_rks(mol, xc, grids)
@@ -115,16 +119,6 @@ def test_rks_rsh_mgga_vs_oracle_h2o(xc):
     assert abs(e - e_ref) < 1e-8, (e, e_ref)
 
 
-def test_unverified_functional_gated():
-    """wb97m-v must raise unless explicitly opted in (UNVERIFIED data)."""
-    from joltqc_tpu.dft import xc as xcmod
-
-    xcmod.allow_unverified_functionals(False)
-    with pytest.raises(NotImplementedError, match="UNVERIFIED"):
-        xcmod.parse_xc("wb97m-v")
-    xcmod.allow_unverified_functionals(True)
-    assert xcmod.parse_xc("wb97m-v").family == "mgga"
-    xcmod.allow_unverified_functionals(False)
 
 
 @pytest.mark.slow

@@ -82,3 +82,68 @@ def test_dm_cond_l2_pooling():
     # max pooling sanity alongside
     condm = lay.dm_cond(dm)
     assert (cond + 1e-12 >= condm).all()
+
+@pytest.mark.parametrize("family", ["gga"])
+def test_screened_block_sel_matches_full(setup, family):
+    """block_sel: selected blocks match the full screened eval; others 0."""
+    ni, grids, dm = setup
+    scr = GridScreening(ni, grids, thresh=1e-13)
+    B = ni.block
+    nblk = len(scr.blocks)
+    sel = np.arange(0, nblk, 2)
+    rho_f = eval_rho_screened(ni, scr, dm, family)
+    rho_s = eval_rho_screened(ni, scr, dm, family, block_sel=sel)
+    npts = rho_f.shape[1]
+    for b in range(nblk):
+        sl = slice(b * B, min((b + 1) * B, npts))
+        if sl.start >= npts:
+            break
+        if b in sel:
+            assert np.allclose(rho_s[:, sl], rho_f[:, sl], atol=1e-12)
+        else:
+            assert np.all(rho_s[:, sl] == 0.0)
+
+    rows = 4
+    rng = np.random.default_rng(4)
+    wv = rng.standard_normal((rows, len(grids.coords))) * grids.weights
+    # vxc with block_sel == vxc of wv zeroed outside the selection
+    wv_masked = wv.copy()
+    for b in range(nblk):
+        if b not in sel:
+            wv_masked[:, b * B : (b + 1) * B] = 0.0
+    v_sel = eval_vxc_screened(ni, scr, wv, family, block_sel=sel)
+    v_ref = eval_vxc_screened(ni, scr, wv_masked, family)
+    scale = max(np.abs(v_ref).max(), 1e-10)
+    assert np.abs(v_sel - v_ref).max() / scale < 1e-6
+
+
+@pytest.mark.slow
+def test_rks_mixed_screening_incremental_compose():
+    """All three features at once (VERDICT r2 item 5): screening active,
+    DF64 tier active, incremental active -- energy still inside the
+    1e-8 Ha mixed-precision envelope vs the f64 oracle, and the
+    converged tail evaluates fewer grid blocks than full coverage.
+
+    Reference: nz lists + precision windows + incremental caches
+    composing in /root/reference/jqc/pyscf/rks.py:329-359."""
+    from joltqc_tpu.scf import RKS
+    from test_dft_oracle_scf import oracle_rks
+
+    mol = Molecule.from_atom_string(ATOMS, basis="6-31g")
+    grids = Grids(mol, n_rad=40, n_theta=10, block=256).build()
+    e_ref = oracle_rks(mol, "pbe", grids)
+    mf = RKS(mol, xc="pbe", grids=grids, conv_tol=1e-10, max_cycle=40,
+             incremental=True)
+    mf.ni = NumInt(mf.layout, block=256)
+    mf.screen_thresh = 1e-12
+    e = mf.kernel()
+    assert mf.converged
+    scr = mf._screening()
+    assert scr is not None, "screening must actually engage"
+    assert mf.dft_cutoff_fp64 is not None  # mixed tier on
+    assert abs(e - e_ref) < 1e-8, (e, e_ref)
+    ncyc = mf.scf_summary["cycles"]
+    nblk = len(mf._block_bounds())
+    assert mf.dft_block_evals < 2 * ncyc * nblk, (
+        mf.dft_block_evals, ncyc, nblk
+    )

@@ -8,16 +8,18 @@ Validation strategy (no libxc in this environment):
  - all potentials (vrho, vsigma, vtau) vs central finite differences;
  - mGGA numint rows (tau) and the V_tau matrix vs the f64 numpy oracle.
 
-The wb97m-v parameter table is flagged UNVERIFIED-DATA in
-joltqc_tpu/dft/xc_data.py; its tests here cover machinery consistency
-only, not literature energies.
+The mGGA B97 series machinery is tested through a SYNTHETIC functional
+registered only for these tests ("b97m-test"): the shipped wb97m-v data
+failed its published-anchor verification and was deleted
+(dft/xc_data.py provenance notes), but the machinery -- w/u series,
+vtau autodiff, RSH composition -- stays covered so a verified parameter
+set can drop in.
 """
 
 import numpy as np
 import pytest
 
 from joltqc_tpu.dft.xc import (
-    allow_unverified_functionals,
     eval_xc,
     hybrid_coeff,
     needs_tau,
@@ -25,20 +27,36 @@ from joltqc_tpu.dft.xc import (
     rsh_coeff,
 )
 
+# synthetic RSH mGGA spec exercising every mGGA machinery path (w/u
+# cross terms, SR exchange, Stoll correlation split, VV10 metadata)
+_B97M_TEST = dict(
+    family="mgga",
+    series="mgga",
+    x={(0, 0): 0.85, (1, 0): 1.0, (0, 1): 0.25},
+    css={(0, 0): 0.44, (1, 0): -1.4, (0, 2): -4.5},
+    cos={(0, 0): 1.0, (1, 0): 1.35, (2, 1): -8.8},
+    hyb=0.15,
+    alpha=1.0,
+    omega=0.3,
+    nlc=(6.0, 0.01),
+)
+
 
 @pytest.fixture(autouse=True)
-def _opt_in_unverified():
-    """These tests ARE (part of) the wb97m-v verification machinery, so
-    they opt in to the gated UNVERIFIED-DATA functional; user code gets
-    the NotImplementedError gate (test_unverified_gate)."""
-    allow_unverified_functionals(True)
+def _register_b97m_test():
+    from joltqc_tpu.dft import xc as xcmod
+    from joltqc_tpu.dft.xc import XCInfo, _make_b97
+
+    xcmod._ALIASES["b97m-test"] = XCInfo(
+        "mgga", _make_b97(_B97M_TEST), 0.15, 1.0, 0.3, (6.0, 0.01)
+    )
     yield
-    allow_unverified_functionals(False)
+    xcmod._ALIASES.pop("b97m-test", None)
 
 
-def test_unverified_gate():
-    allow_unverified_functionals(False)
-    with pytest.raises(NotImplementedError, match="UNVERIFIED"):
+def test_deleted_wb97mv_raises():
+    """wb97m-v was deleted after failing anchor verification: unknown."""
+    with pytest.raises(NotImplementedError):
         parse_xc("wb97m-v")
 
 _CF_SPIN = 0.3 * (6.0 * np.pi**2) ** (2.0 / 3.0)
@@ -117,7 +135,7 @@ def test_wb97xv_ueg_limit():
     np.testing.assert_allclose(e, ref, rtol=1e-10)
 
 
-def test_wb97mv_ueg_limit():
+def test_mgga_series_ueg_limit():
     """sigma->0, tau=tau_unif (w=0, u=0): only the (0,0) terms survive."""
     rho = np.array([1.5, 0.4])
     z = np.zeros(2)
@@ -126,17 +144,17 @@ def test_wb97mv_ueg_limit():
 
     from joltqc_tpu.dft.xc import _ex_slater_sr, _pw92_eps_pol
 
-    e = eval_xc("wb97m-v", rho, z, tau)[0]
+    e = eval_xc("b97m-test", rho, z, tau)[0]
     with jax.enable_x64(True):
         ex_sr = np.array(_ex_slater_sr(rho, 0.3))
         e_ss = 2.0 * (rho / 2.0) * np.array(_pw92_eps_pol(rho / 2.0))
     e_os = eval_xc("pw92", rho)[0] - e_ss
-    ref = 0.85 * ex_sr + 0.443 * e_ss + 1.000 * e_os
+    ref = 0.85 * ex_sr + 0.44 * e_ss + 1.0 * e_os
     np.testing.assert_allclose(e, ref, rtol=1e-10)
 
 
 # ----------------------------------------------------- derivative checks
-@pytest.mark.parametrize("xc", ["b97", "wb97x-v", "wb97m-v"])
+@pytest.mark.parametrize("xc", ["b97", "wb97x-v", "b97m-test"])
 def test_b97_autodiff_vs_fd(xc):
     rho = np.array([0.9, 0.15])
     sig = np.array([0.25, 0.03])
@@ -152,7 +170,7 @@ def test_b97_autodiff_vs_fd(xc):
         ep = eval_xc(xc, *ap)[0]
         em = eval_xc(xc, *am)[0]
         fd = (ep - em) / (2 * h)
-        if xc != "wb97m-v" and i == 2:
+        if xc != "b97m-test" and i == 2:
             np.testing.assert_allclose(v, 0.0, atol=1e-14)  # GGA: no vtau
         else:
             np.testing.assert_allclose(fd, v, rtol=3e-5, atol=1e-9)
@@ -160,11 +178,11 @@ def test_b97_autodiff_vs_fd(xc):
 
 def test_rsh_metadata():
     assert rsh_coeff("wb97x-v") == (0.3, 1.0, 0.167)
-    assert rsh_coeff("wb97m-v") == (0.3, 1.0, 0.15)
+    assert rsh_coeff("b97m-test") == (0.3, 1.0, 0.15)
     assert rsh_coeff("b3lyp") == (0.0, 0.20, 0.20)
     assert hybrid_coeff("hf") == 1.0
-    assert needs_tau("wb97m-v") and not needs_tau("wb97x-v")
-    assert parse_xc("wb97m-v").nlc == (6.0, 0.01)
+    assert needs_tau("b97m-test") and not needs_tau("wb97x-v")
+    assert parse_xc("b97m-test").nlc == (6.0, 0.01)
 
 
 # -------------------------------------------------------- mGGA numint
