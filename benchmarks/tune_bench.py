@@ -45,20 +45,20 @@ def main():
 
     t0 = time.time()
     eng_s = JKEngine(mf.layout, merge_nprim=True, accum="scatter")
-    eng_s.get_jk(dm)
+    eng_s.build_plan(dm)
     print(f"scatter plan ready ({time.time()-t0:.0f}s)", flush=True)
     t0 = time.time()
     eng_b = JKEngine(mf.layout, merge_nprim=True, accum="block")
-    eng_b.get_jk(dm)
+    eng_b.build_plan(dm)
     print(f"block plan ready ({time.time()-t0:.0f}s)", flush=True)
 
-    sizes = tuple(
-        int(x) for x in os.environ.get(
-            "JQC_TUNE_SIZES", "1024,2048,4096,8192,16384"
-        ).split(",")
+    budget = float(os.environ.get("JQC_TUNE_BUDGET_S", "1800"))
+    table = tune_workload(
+        eng_s, min_tasks=4096, block_engine=eng_b,
+        accum_only=os.environ.get("JQC_TUNE_ACCUM_ONLY", "1") == "1",
+        max_chunks=int(os.environ.get("JQC_TUNE_MAX_CHUNKS", "4")),
+        budget_s=budget,
     )
-    table = tune_workload(eng_s, sizes=sizes, min_tasks=4096,
-                          block_engine=eng_b)
     nblock = sum(
         1 for v in table.values()
         if isinstance(v, dict) and v.get("accum") == "block"

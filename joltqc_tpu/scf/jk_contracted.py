@@ -444,7 +444,16 @@ def _plan_to_device(plan):
 def _chunk_size(ls, ntasks=None, target_elems=1 << 21, nprims=None, tier=None):
     """Task chunk size: per-device autotuned table first (the analogue of
     the reference's optimal_scheme JSONs, jqc/backend/jk.py:38-53), then
-    an analytic heuristic."""
+    a Pallas-eligibility ladder on TPU, then an analytic heuristic.
+
+    Round-3 on-chip measurements (CLAUDE.md perf table): the Pallas
+    class kernel at its VMEM-eligible chunk beats the XLA fallback by
+    3-20x (e.g. (1,0,0,0)x3333 f32: 45 vs 10 Mt/s; (2,0,0,0) df64: 10.4
+    vs 5.6), while the round-1 'huge chunk' caps (65536) silently pushed
+    every low-l class OFF the Pallas path.  Tier ladders stop at the
+    measured sweet spots (f32 16384, df64 8192 -- larger df64 chunks
+    pass the static VMEM estimate but thrash: 16384 measured 6x SLOWER
+    than 8192 on (1,0,0,0))."""
     if nprims is not None and tier is not None:
         from ..utils.autotune import tuned_chunk
 
@@ -453,6 +462,25 @@ def _chunk_size(ls, ntasks=None, target_elems=1 << 21, nprims=None, tier=None):
             if ntasks is not None:
                 b = min(b, 1 << int(np.ceil(np.log2(max(ntasks, 64)))))
             return int(b)
+    if nprims is not None and tier is not None:
+        import jax
+
+        from ..ops.eri import _USE_PALLAS
+        from ..ops.eri_pallas import pallas_supported
+
+        if _USE_PALLAS and jax.default_backend() == "tpu":
+            ladder = (
+                (16384, 8192, 4096, 2048, 1024)
+                if tier in ("f32", "fp32")
+                else (8192, 4096, 2048, 1024)
+            )
+            for b in ladder:
+                if pallas_supported(tier, ls, nprims, b):
+                    if ntasks is not None:
+                        b = min(
+                            b, 1 << int(np.ceil(np.log2(max(ntasks, 64))))
+                        )
+                    return int(b)
     nfab = _nf(ls[0]) * _nf(ls[1])
     nfcd = _nf(ls[2]) * _nf(ls[3])
     nfel = nfab * nfcd
@@ -461,8 +489,6 @@ def _chunk_size(ls, ntasks=None, target_elems=1 << 21, nprims=None, tier=None):
     if ntasks is not None:
         # don't pad tiny task lists up to a huge chunk
         b = min(b, 1 << int(np.ceil(np.log2(max(ntasks, 64)))))
-    # low-l classes run far below VPU peak at 8192 tasks/chunk (round-1
-    # profiling); let them amortize fixed per-chunk cost over more tasks
     cap = 65536 if nfel <= 9 else (16384 if nfel <= 81 else 8192)
     return int(min(b, cap))
 
@@ -575,19 +601,87 @@ class JKEngine:
             q[s : s + B] = np.asarray(qq)[: min(B, P - s)]
         return np.log(np.maximum(q, 1e-38)) * 0.5
 
+    def _q_cache_path(self, pc, omega):
+        """Disk path for one pair class's Schwarz bounds (geometry-keyed).
+
+        The q phase costs minutes of tunnel round trips per plan build
+        but is density-independent, so it persists like the plan itself
+        (utils/plancache.py)."""
+        import hashlib
+        import os
+
+        base = os.environ.get(
+            "JQC_CACHE_DIR", os.path.expanduser("~/.cache/joltqc_tpu")
+        )
+        if base in ("0", "off", "none") or os.environ.get(
+            "JQC_PLAN_CACHE", "1"
+        ) in ("0", "off", "none"):
+            return None
+        base = base.rstrip("/")
+        if base.endswith("/xla"):
+            base = base[:-4]
+        h = hashlib.sha256()
+        for k in (pc.ci, pc.cj):
+            c = self.classes[k]
+            h.update(np.int64([c.l, c.nprim, c.nshell]).tobytes())
+            for a in (c.coords, c.exps, c.coefs):
+                h.update(np.ascontiguousarray(a).tobytes())
+        h.update(np.float64([omega]).tobytes())
+        return os.path.join(base, "plans", f"q_{h.hexdigest()[:24]}.npz")
+
     def _ensure_q(self, pc, omega=0.0):
         """Pair Schwarz bounds; per-omega variants share the omega=0 sort
         order (valid: the erf-attenuated (ab|ab)_w is bounded by the full
         -Coulomb value, so the omega=0 candidate generation is a superset;
         reference per-omega q_matrix: jqc/pyscf/basis.py:218-243)."""
-        if pc.q_log is None:
-            pc.q_log = self._q_raw(pc)
-            sort_pairs_by_q(pc)
+        import os
+
         omega = float(omega or 0.0)
+
+        def save(path, **arrs):
+            try:
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = path + f".tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    np.savez(f, **arrs)
+                os.replace(tmp, path)
+            except OSError:
+                pass
+
+        if pc.q_log is None:
+            path = self._q_cache_path(pc, 0.0)
+            if path is not None and os.path.exists(path):
+                try:
+                    with np.load(path) as z:
+                        q, order = z["q"], z["order"]
+                    pc.i_loc = pc.i_loc[order]
+                    pc.j_loc = pc.j_loc[order]
+                    pc.diag = pc.diag[order]
+                    pc.q_log = q
+                except Exception:
+                    pc.q_log = None
+            if pc.q_log is None:
+                pc.q_log = self._q_raw(pc)
+                order = np.argsort(-pc.q_log, kind="stable")
+                sort_pairs_by_q(pc)
+                if path is not None:
+                    save(path, q=pc.q_log, order=order)
         if omega == 0.0:
             return pc.q_log
         if omega not in pc.q_omega:
-            pc.q_omega[omega] = self._q_raw(pc, omega)
+            # cached per-omega bounds are aligned with the SORTED pair
+            # order (they are always computed/saved after the q_log sort)
+            path = self._q_cache_path(pc, omega)
+            if path is not None and os.path.exists(path):
+                try:
+                    with np.load(path) as z:
+                        pc.q_omega[omega] = z["q"]
+                except Exception:
+                    pass
+            if omega not in pc.q_omega:
+                pc.q_omega[omega] = self._q_raw(pc, omega)
+                if path is not None:
+                    save(path, q=pc.q_omega[omega])
         return pc.q_omega[omega]
 
     # --------------------------------------------------------------- plan
@@ -822,6 +916,37 @@ class JKEngine:
                 save_plan(key, plan, self.plan_stats)
         return _plan_to_device(plan)
 
+    def build_plan(self, dm_mol, omega=0.0):
+        """Build (or disk-load) the screened task plan WITHOUT launching
+        any kernels -- the plan-construction half of ``get_jk``.
+
+        Used by the autotuner (utils/autotune.py) and warmup flows that
+        need ``self._plan`` populated but would waste an hour of tunnel
+        compiles running the full Fock build first."""
+        dm = np.asarray(dm_mol, np.float64)
+        if dm.ndim == 3:
+            dm_int = np.stack([self.layout.dm_to_internal(d) for d in dm])
+            cond = np.maximum.reduce(
+                [self.layout.dm_cond(d) for d in dm_int]
+            )
+        else:
+            dm_int = self.layout.dm_to_internal(dm)
+            cond = self.layout.dm_cond(dm_int)
+        D = np.log(np.maximum(cond, 1e-30)).astype(np.float32)
+        self._plan = self._ensure_full_plan(D, float(D.max()),
+                                            float(omega or 0.0))
+        return self._plan
+
+    def _ensure_full_plan(self, D, logdm, okey):
+        if not hasattr(self, "_plans_full"):
+            self._plans_full = {}
+        cached = self._plans_full.get(okey)
+        if cached is None or np.any(D > cached[1]):
+            Dm = (D + 0.7).astype(np.float32)
+            cached = (self._build_plan_cached(logdm + 0.7, Dm, okey), Dm)
+            self._plans_full[okey] = cached
+        return cached[0]
+
     # ---------------------------------------------------------------- jk
     def _run_plan(self, dm_int, with_j, with_k, omega, bucketed=False,
                   cond=None):
@@ -867,14 +992,7 @@ class JKEngine:
                 self._plans[bucket] = cached
             plan = cached[0]
         else:
-            if not hasattr(self, "_plans_full"):
-                self._plans_full = {}
-            cached = self._plans_full.get(okey)
-            if cached is None or np.any(D > cached[1]):
-                Dm = (D + 0.7).astype(np.float32)
-                cached = (self._build_plan_cached(logdm + 0.7, Dm, okey), Dm)
-                self._plans_full[okey] = cached
-            plan = self._plan = cached[0]
+            plan = self._plan = self._ensure_full_plan(D, logdm, okey)
 
         dm_df = df.from_f64(dm_int)
         dm_f32 = jnp.asarray(dm_int, jnp.float32)

@@ -87,13 +87,17 @@ def tuned_accum(ls, nprims, tier) -> str | None:
 
 
 def _time_class(engine, entry, B: int | None, repeats: int = 3,
-                outer: int = 4) -> float:
+                outer: int = 4, max_chunks: int | None = None) -> float:
     """Seconds per task for one class at chunk size B (median of repeats).
 
     ``B=None`` runs the entry's tasks at their PLAN shape (required for
     block-grouped entries, whose (gslot, tb4) extras are chunk-layout
     bound).  ``outer`` async dispatches per timing amortize the PJRT
-    tunnel round trip (CLAUDE.md measurement traps)."""
+    tunnel round trip (CLAUDE.md measurement traps).  ``max_chunks``
+    slices the timing to the first k chunks (the big bench classes run
+    512 chunks -- timing the whole class x repeats x outer through the
+    tunnel is minutes per class; a 4-chunk slice ranks strategies just
+    as well)."""
     import jax
     import jax.numpy as jnp
 
@@ -107,20 +111,24 @@ def _time_class(engine, entry, B: int | None, repeats: int = 3,
     tbls = tuple(tables[k] for k in entry["cls_idx"])
     n = int(entry["ntasks"])
     if B is None:
-        tasks = tuple(jnp.asarray(np.asarray(t)) for t in entry["tasks"])
-        B_eff = int(np.asarray(entry["tasks"][0]).shape[1])
+        arrs = tuple(np.asarray(t) for t in entry["tasks"])
+        B_eff = int(arrs[0].shape[1])
+        if max_chunks is not None and arrs[0].shape[0] > max_chunks:
+            arrs = tuple(a[:max_chunks] for a in arrs)
+            n = max_chunks * B_eff  # nominal (incl. pad slots)
+        tasks = tuple(jnp.asarray(a) for a in arrs)
     else:
         # rebuild this class's task list at chunk B (same tasks, new shape)
         flat = [np.asarray(t).reshape(-1) for t in entry["tasks"][:5]]
         npad = (-n) % B
-        tasks = tuple(
-            jnp.asarray(
-                np.concatenate(
-                    [f, np.full(npad, f[-1], f.dtype)]
-                ).reshape(-1, B)
-            )
+        chunked = [
+            np.concatenate([f, np.full(npad, f[-1], f.dtype)]).reshape(-1, B)
             for f in flat
-        )
+        ]
+        if max_chunks is not None and chunked[0].shape[0] > max_chunks:
+            chunked = [c[:max_chunks] for c in chunked]
+            n = max_chunks * B
+        tasks = tuple(jnp.asarray(c) for c in chunked)
         B_eff = B
     dm = (
         df.const(0.5, (nao, nao))
@@ -156,7 +164,9 @@ def _time_class(engine, entry, B: int | None, repeats: int = 3,
 
 def tune_workload(engine, sizes=(256, 512, 1024, 2048, 4096, 8192),
                   min_tasks: int = 256, verbose: bool = True,
-                  block_engine=None) -> dict:
+                  block_engine=None, accum_only: bool = False,
+                  max_chunks: int | None = 4,
+                  budget_s: float | None = None) -> dict:
     """Time every class in the engine's current plan across chunk sizes.
 
     Writes the winning sizes to the per-device table and returns it.
@@ -166,7 +176,14 @@ def tune_workload(engine, sizes=(256, 512, 1024, 2048, 4096, 8192),
     built plan on the same workload; block-grouped entries are timed
     against the scatter winner and the faster accumulation strategy is
     recorded per class (VERDICT r2 item 4: measured block-vs-scatter
-    routing, the analogue of the reference's per-device scheme files)."""
+    routing, the analogue of the reference's per-device scheme files).
+
+    ``accum_only=True`` skips the chunk-size sweep (the plan's chunk --
+    already ladder/table-routed -- is kept) and only decides
+    scatter-vs-block per class.  ``budget_s`` stops tuning when the
+    wall budget is spent (classes are visited in descending task-volume
+    order, so the hottest classes are tuned first); the partial table is
+    still written."""
     global _TABLE
     if engine._plan is None:
         raise ValueError("engine has no plan yet -- run get_jk once first")
@@ -176,26 +193,46 @@ def tune_workload(engine, sizes=(256, 512, 1024, 2048, 4096, 8192),
             if e.get("accum") == "block":
                 block_by_key[_key(e["ls"], e["nprims"], e["tier"])] = e
     table = dict(load_table())
-    for entry in engine._plan:
+    t_start = time.perf_counter()
+    entries = sorted(
+        engine._plan,
+        key=lambda e: -e["ntasks"] * int(
+            np.prod([(l + 1) * (l + 2) // 2 for l in e["ls"]])
+        ),
+    )
+    for entry in entries:
         if entry["ntasks"] < min_tasks:
             continue
-        key = _key(entry["ls"], entry["nprims"], entry["tier"])
-        best, best_t = None, np.inf
-        for B in sizes:
-            if B > 4 * entry["ntasks"]:
-                continue
-            t = _time_class(engine, entry, B)
+        if budget_s is not None and time.perf_counter() - t_start > budget_s:
             if verbose:
-                print(f"{key:36s} B={B:5d}  {t*1e9:8.1f} ns/task",
+                print("tune budget spent -- writing partial table",
                       flush=True)
-            if t < best_t:
-                best, best_t = B, t
-        if best is None:
-            continue
+            break
+        key = _key(entry["ls"], entry["nprims"], entry["tier"])
+        if accum_only:
+            best = int(np.asarray(entry["tasks"][0]).shape[1])
+            best_t = _time_class(engine, entry, None, max_chunks=max_chunks)
+            if verbose:
+                print(f"{key:36s} plan B={best:5d}  {best_t*1e9:8.1f} "
+                      "ns/task", flush=True)
+        else:
+            best, best_t = None, np.inf
+            for B in sizes:
+                if B > 4 * entry["ntasks"]:
+                    continue
+                t = _time_class(engine, entry, B, max_chunks=max_chunks)
+                if verbose:
+                    print(f"{key:36s} B={B:5d}  {t*1e9:8.1f} ns/task",
+                          flush=True)
+                if t < best_t:
+                    best, best_t = B, t
+            if best is None:
+                continue
         rec = {"chunk": best, "accum": "scatter"}
         blk = block_by_key.get(key)
         if blk is not None:
-            t_blk = _time_class(block_engine, blk, None)
+            t_blk = _time_class(block_engine, blk, None,
+                                max_chunks=max_chunks)
             if verbose:
                 print(f"{key:36s} block  {t_blk*1e9:8.1f} ns/task "
                       f"(scatter best {best_t*1e9:.1f})", flush=True)

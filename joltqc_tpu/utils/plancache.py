@@ -51,6 +51,11 @@ def plan_key(engine, logdm: float, dm_cond_log, omega: float) -> str | None:
         return None
     h = hashlib.sha256()
     h.update(f"v{PLAN_VERSION}".encode())
+    # chunk-size choice is backend-aware (Pallas-eligibility ladder on
+    # TPU), so plans must not be shared across backends
+    import jax
+
+    h.update(jax.default_backend().encode())
     for c in engine.classes:
         h.update(np.int64([c.l, c.nprim, c.nshell]).tobytes())
         for a in (c.coords, c.exps, c.coefs, c.ao, c.shell_ids):
