@@ -72,17 +72,21 @@ def main():
         k = min(arrs[0].shape[0], max_chunks)
         return tuple(jnp.asarray(a[:k]) for a in arrs), k, arrs[0].shape[1]
 
+    def sync(out):
+        # force a device->host transfer (block_until_ready is a no-op on
+        # the axon platform, CLAUDE.md measurement trap)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jnp.ravel(leaf)[:1])
+
     def time_fn(f, *args):
         t0 = time.time()
-        out = f(*args)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(leaf)[:1] if hasattr(leaf, "shape") and leaf.size else None
+        sync(f(*args))
         compile_s = time.time() - t0
         t0 = time.time()
+        out = None
         for _ in range(outer):
             out = f(*args)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(leaf.reshape(-1)[:1])
+        sync(out)
         return compile_s, (time.time() - t0) / outer
 
     entries = sorted(
@@ -174,6 +178,13 @@ def main():
         rows.append(("scatter", c, t))
 
         blk = block_by_key.get(key(entry))
+        if blk is not None and blk.get("nrows", 0) > 8192:
+            # occupancy analysis (CLAUDE.md round 3): at nrows >= chunk
+            # the one-hot reduction does more MACs than the ERI; the
+            # XLA fallback also materializes a >0.5 GB one-hot to HBM
+            print(f"  block[r{blk['nrows']}]  skipped (occupancy too low)",
+                  flush=True)
+            blk = None
         if blk is not None and blk.get("accum") == "block":
             btasks, bk, bB = slice_tasks(blk)
             bntask = bk * bB

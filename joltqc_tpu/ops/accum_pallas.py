@@ -36,9 +36,10 @@ def _accum_kernel(nrows, nf, nlimb, T2, ts2, isdf):
 
     nfl = nf * nlimb
 
-    def kernel(sexp_ref, vhi_ref, vlo_ref, key_ref, out_ref):
+    def kernel(scale_ref, vhi_ref, vlo_ref, key_ref, out_ref):
         step = pl.program_id(0)
-        s = _pow2_exact(sexp_ref[0, 0])
+        s = scale_ref[0, 0]  # f32 power of two (scalar bitcast is not
+        # supported in Mosaic; _pow2_exact runs outside the kernel)
 
         @pl.when(step == 0)
         def _():
@@ -72,6 +73,18 @@ def _accum_kernel(nrows, nf, nlimb, T2, ts2, isdf):
     return kernel
 
 
+def pallas_accum_ok(T: int, nrows: int) -> bool:
+    """Shape support check: the task-slice width must satisfy the TPU
+    block alignment (multiple of 8 sublanes, or the full task axis)."""
+    if T % _LANE or T * 127 >= (1 << 24):
+        return False
+    T2 = T // _LANE
+    ts2 = max(1, min(T2, _ONEHOT_ELEMS // max(nrows * _LANE, 1)))
+    while T2 % ts2:
+        ts2 -= 1
+    return ts2 % 8 == 0 or ts2 == T2
+
+
 def block_accumulate_pallas(values, rowkey, nrows: int, x_abs_max,
                             nlimb: int = None, axis_name=None):
     """Drop-in for ops/accum.py::block_accumulate (same contract)."""
@@ -98,6 +111,7 @@ def block_accumulate_pallas(values, rowkey, nrows: int, x_abs_max,
 
     e = _exp_of_max(x_abs_max)
     sexp = jnp.clip(6 - e, -126, 126).reshape(1, 1)
+    scale = _pow2_exact(sexp)
 
     # (nf, T2, LANE) layout: minor dims are the task batch
     vhi = jnp.moveaxis(values.hi, 0, 1).reshape(nf, T2, _LANE)
@@ -123,7 +137,7 @@ def block_accumulate_pallas(values, rowkey, nrows: int, x_abs_max,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nrows, nfl), jnp.float32),
         interpret=jax.default_backend() == "cpu",
-    )(sexp, vhi, vlo, key2)
+    )(scale, vhi, vlo, key2)
 
     if axis_name is not None:
         # exact integer psum of the per-device partial block sums (cast

@@ -206,10 +206,12 @@ def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
         # all devices), not the per-device slice
         Bfull = chunk_b if chunk_b is not None else locs[0].shape[0]
         T = locs[0].shape[0]
+        from ..ops.accum_pallas import pallas_accum_ok
+
         use_pallas = (
             jax.default_backend() == "tpu"
-            and T % 128 == 0
             and Bfull * 127 < (1 << 24)
+            and pallas_accum_ok(T, nrows)
         )
         if use_pallas:
             from ..ops.accum_pallas import block_accumulate_pallas as _ba
