@@ -112,7 +112,7 @@ def _tile_kernel(Wx, Wy, nlA8, ts):
 
     R = Wy * nlA8
 
-    def kernel(l_ref, iyr_ref, ixr_ref, out_ref):
+    def kernel(l_ref, iyr_ref, ixc_ref, out_ref):
         t = pl.program_id(1)
 
         @pl.when(t == 0)
@@ -123,10 +123,13 @@ def _tile_kernel(Wx, Wy, nlA8, ts):
         jr = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) // nlA8
         OHB = (iyr_ref[...] == jr).astype(jnp.bfloat16)  # (R, ts)
         CT = OHB * LB
-        ax = jax.lax.broadcasted_iota(jnp.int32, (Wx, 1), 0)
-        A = (ixr_ref[...] == ax).astype(jnp.bfloat16)  # (Wx, ts)
+        # x one-hot TASK-MAJOR (ts, Wx) so the dot is the natural
+        # (M,K)@(K,N) form -- the NT form (contracting both lane dims)
+        # hangs the Mosaic compile (measured: /tmp/bisect_tile.py dotonly)
+        ax = jax.lax.broadcasted_iota(jnp.int32, (1, Wx), 1)
+        A = (ixc_ref[...] == ax).astype(jnp.bfloat16)  # (ts, Wx)
         out_ref[...] += jax.lax.dot_general(
-            CT, A, (((1,), (1,)), ((), ())),
+            CT, A, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -166,7 +169,7 @@ def tile_accumulate(values, ix, iy, Wx: int, Wy: int, x_abs_max,
     nlA8 = nlimb * A8
 
     iyr = iy.reshape(1, T)
-    ixr = ix.reshape(1, T)
+    ixc = ix.reshape(T, 1)
 
     kernel = _tile_kernel(Wx, Wy, nlA8, ts)
     R = Wy * nlA8
@@ -178,7 +181,7 @@ def tile_accumulate(values, ix, iy, Wx: int, Wy: int, x_abs_max,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ts), lambda f, t: (0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ts), lambda f, t: (0, t),
+            pl.BlockSpec((ts, 1), lambda f, t: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, R, Wx), lambda f, t: (f, 0, 0),
@@ -186,7 +189,7 @@ def tile_accumulate(values, ix, iy, Wx: int, Wy: int, x_abs_max,
         out_shape=jax.ShapeDtypeStruct((nsteps_f, R, Wx), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=jax.default_backend() == "cpu",
-    )(L, iyr, ixr)
+    )(L, iyr, ixc)
 
     # (nsteps_f, Wy, nlimb, A8, Wx) -> (Wx, Wy, nf, nlimb)
     out = out.reshape(nsteps_f, Wy, nlimb, A8, Wx)
@@ -203,17 +206,8 @@ def tile_accumulate(values, ix, iy, Wx: int, Wy: int, x_abs_max,
     return out, sexp
 
 
-def _bf16_planes(x):
-    """Split f32 -> 3 bf16 planes summing EXACTLY to x (8+8+8 mantissa)."""
-    hi = x.astype(jnp.bfloat16)
-    r = x - hi.astype(jnp.float32)
-    mid = r.astype(jnp.bfloat16)
-    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, mid, lo
-
-
 @lru_cache(maxsize=None)
-def _fused_kernel(Wx, Wy, Wu, Wv, nfo, nfc, nlimb, ts, isdf, ndp):
+def _fused_kernel(Wx, Wy, nfo, nfc, nlimb, ts, isdf):
     from jax.experimental import pallas as pl
 
     A8 = _r8(nfc)
@@ -222,8 +216,8 @@ def _fused_kernel(Wx, Wy, Wu, Wv, nfo, nfc, nlimb, ts, isdf, ndp):
     O8 = _r8(nfo)
     G8 = nfo * A8  # g slab rows per f-chunk (o-major, A8 comps each)
 
-    def kernel(scale_ref, g_ref, glo_ref, d_ref, ixr_ref, iyr_ref,
-               iur_ref, ivr_ref, out_ref):
+    def kernel(scale_ref, g_ref, glo_ref, dt_ref, dtlo_ref,
+               ixc_ref, iyr_ref, out_ref):
         t = pl.program_id(1)
         s = scale_ref[0, 0]  # f32 power of two (scalar bitcast is
         # unsupported in Mosaic; _pow2_exact runs outside)
@@ -232,42 +226,36 @@ def _fused_kernel(Wx, Wy, Wu, Wv, nfo, nfc, nlimb, ts, isdf, ndp):
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        # ---- one-hot dm-row selection (dense dm tile, no gathers) ----
-        au = jax.lax.broadcasted_iota(jnp.int32, (Wu, 1), 0)
-        OHu = (iur_ref[...] == au).astype(jnp.bfloat16)  # (Wu, ts)
-        # P[(v,o), tau] = dsel * (iv_tau == v): rows v-major o-minor
-        rv = jax.lax.broadcasted_iota(jnp.int32, (Wv * O8, 1), 0) // O8
-        OHV = (ivr_ref[...] == rv).astype(jnp.float32)  # (Wv*O8, ts)
-        # constant selector: DTB[(o, a), (v, o')] = (o == o')
+        # ---- expand dm rows (O8, ts) -> (G8, ts), o-major A8-replicated
+        # rows, via a constant 0/1 selection matmul (EXACT: one term per
+        # output row).  The dm values themselves were gathered in XLA --
+        # no in-kernel dm-tile selection (the v3 one-hot dm machinery
+        # cost ~1.6M MACs/task at high l; this is O(G8*O8) ~ 24k).
         ro = jax.lax.broadcasted_iota(jnp.int32, (G8, 1), 0) // A8
-        co = jax.lax.broadcasted_iota(
-            jnp.int32, (1, Wv * O8), 1
-        ) % O8
-        REP = (ro == co).astype(jnp.bfloat16)  # (G8, Wv*O8)
+        co = jax.lax.broadcasted_iota(jnp.int32, (1, O8), 1)
+        REP = (ro == co).astype(jnp.float32)  # (G8, O8)
+        # precision=HIGHEST: the default TPU MXU f32 matmul truncates
+        # operands to bf16 passes, silently rounding the dm values
+        # (measured 2^-9-level error on chip); with HIGHEST the 0/1
+        # selection is exact (one term per output row)
+        DT = jnp.dot(REP, dt_ref[...], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        if isdf:
+            DTlo = jnp.dot(REP, dtlo_ref[...],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
 
-        dtb = []
-        for p in range(ndp):
-            dsel = None
-            for q in range(3):
-                part = jnp.dot(d_ref[p * 3 + q], OHu,
-                               preferred_element_type=jnp.float32)
-                dsel = part if dsel is None else dsel + part
-            Pm = OHV * dsel  # exact: one nonzero (v) per (o, tau)
-            # DTBIG[(o,a), tau] = dm value of complement row o, task tau
-            dtb.append(jnp.dot(REP, Pm,
-                               preferred_element_type=jnp.float32))
-
-        # ---- contraction: V[(a), tau] = sum_o G[(o,a), tau]*DT ----
+        # ---- contraction: V[a, tau] = sum_o G[(o,a), tau] * DT[o, tau]
         v = None
         for o in range(nfo):
             sl = slice(o * A8, (o + 1) * A8)
             if isdf:
                 g = DF64(g_ref[sl], glo_ref[sl])
-                dt = DF64(dtb[0][sl], dtb[1][sl])
+                dt = DF64(DT[sl], DTlo[sl])
                 term = df.mul(g, dt)
                 v = term if v is None else df.add(v, term)
             else:
-                term = g_ref[sl] * dtb[0][sl]
+                term = g_ref[sl] * DT[sl]
                 v = term if v is None else v + term
         x = v if isdf else df.from_f32(v)  # (A8, ts)
 
@@ -286,35 +274,35 @@ def _fused_kernel(Wx, Wy, Wu, Wv, nfo, nfc, nlimb, ts, isdf, ndp):
         jr = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) // nlA8
         OHB = (iyr_ref[...] == jr).astype(jnp.bfloat16)
         CT = OHB * LB
-        ax = jax.lax.broadcasted_iota(jnp.int32, (Wx, 1), 0)
-        A = (ixr_ref[...] == ax).astype(jnp.bfloat16)
+        # x one-hot TASK-MAJOR: natural-form dot (NT hangs Mosaic,
+        # see _tile_kernel)
+        ax = jax.lax.broadcasted_iota(jnp.int32, (1, Wx), 1)
+        A = (ixc_ref[...] == ax).astype(jnp.bfloat16)  # (ts, Wx)
         out_ref[...] += jax.lax.dot_general(
-            CT, A, (((1,), (1,)), ((), ())),
+            CT, A, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     return kernel
 
 
-def fused_contract_tile(G, dtile_t, lx, ly, lu, lv, Wx, Wy, Wu, Wv,
-                        x_abs_max, nlimb: int | None = None):
-    """One stream's chunk: contract G with a dense dm tile and
-    accumulate into the (Wx, Wy) supertile block -- one Pallas kernel,
-    no gathers, no scatters.
+def fused_contract_tile(G, dt, lx, ly, Wx, Wy, x_abs_max,
+                        nlimb: int | None = None):
+    """One stream's chunk: contract G with per-task dm rows and
+    accumulate into the dense (Wx, Wy) supertile block -- one Pallas
+    kernel, no scatters.
 
     G: (T, nfxy, nfo) DF64 or f32 -- the stream-permuted, symmetry-
     weighted ERI blocks (nfxy output components, nfo contracted).
-    dtile_t: (Wv*r8(nfo), Wu) f32 or DF64 -- the complement-pair dense
-    dm tile TRANSPOSED, rows (v-major, o-minor padded to r8(nfo)) with
-    o = fu*nfv + fv over the complement centers' components.
-    lx/ly/lu/lv: (T,) int32 within-tile shell indices.  Returns
-    ((Wx, Wy, nfxy, nlimb) f32 exact integer limb sums, sexp);
-    accumulate across chunks in int32.
+    dt: (r8(nfo), T) f32 or DF64 -- the per-task dm rows of the
+    complement centers (gathered + transposed in XLA; rows beyond nfo
+    are ignored).  lx/ly: (T,) int32 within-tile shell indices in
+    [0, Wx) / [0, Wy).  Returns ((Wx, Wy, nfxy, nlimb) f32 exact
+    integer limb sums, sexp); accumulate across chunks in int32.
 
-    Replaces _contract_blocks + scatter_limbs for tile-grouped plans:
-    dm rows come from one-hot MXU products against the exact
-    3x-bf16-plane split of the tile (reference contrast: per-thread
-    global-memory dm loads + atomicAdd, jk/1q1t.cu:423-643).
+    Replaces _contract_blocks' bmv + scatter_limbs for tile-grouped
+    plans (reference contrast: per-thread dm loads + atomicAdd,
+    jk/1q1t.cu:423-643).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -329,7 +317,7 @@ def fused_contract_tile(G, dtile_t, lx, ly, lu, lv, Wx, Wy, Wu, Wv,
     ts = min(_TS, T)
     assert T % ts == 0 and (ts % (8 * _LANE) == 0 or ts == T), (T, ts)
     O8 = _r8(nfo)
-    assert (dtile_t.hi if isdf else dtile_t).shape == (Wv * O8, Wu)
+    assert (dt.hi if isdf else dt).shape == (O8, T)
     nfc = _pick_nfc(nfxy, Wy, nlimb, ts)
     A8 = _r8(nfc)
     nsteps_f = -(-nfxy // nfc)
@@ -359,25 +347,23 @@ def fused_contract_tile(G, dtile_t, lx, ly, lu, lv, Wx, Wy, Wu, Wv,
 
     ghi = planes(G.hi if isdf else G)
     glo = planes(G.lo) if isdf else ghi[:1]
+    dthi = dt.hi if isdf else dt
+    dtlo = dt.lo if isdf else dthi[:1]
 
-    dparts = (dtile_t.hi, dtile_t.lo) if isdf else (dtile_t,)
-    ndp = len(dparts)
-    dpl = jnp.stack(
-        [pl_ for part in dparts for pl_ in _bf16_planes(part)]
-    )  # (ndp*3, Wv*O8, Wu)
-
-    ixr = lx.reshape(1, T)
+    ixc = lx.reshape(T, 1)
     iyr = ly.reshape(1, T)
-    iur = lu.reshape(1, T)
-    ivr = lv.reshape(1, T)
 
-    kernel = _fused_kernel(Wx, Wy, Wu, Wv, nfo, nfc, nlimb, ts, isdf, ndp)
+    kernel = _fused_kernel(Wx, Wy, nfo, nfc, nlimb, ts, isdf)
     nlA8 = nlimb * A8
     R = Wy * nlA8
     row_spec = pl.BlockSpec((1, ts), lambda f, t: (0, t),
                             memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((ts, 1), lambda f, t: (t, 0),
+                            memory_space=pltpu.VMEM)
     g_spec = pl.BlockSpec((G8, ts), lambda f, t: (f, t),
                           memory_space=pltpu.VMEM)
+    dt_spec = pl.BlockSpec((O8, ts), lambda f, t: (0, t),
+                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(nsteps_f, T // ts),
@@ -387,15 +373,18 @@ def fused_contract_tile(G, dtile_t, lx, ly, lu, lv, Wx, Wy, Wu, Wv,
             g_spec if isdf else pl.BlockSpec(
                 (1, ts), lambda f, t: (0, t), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            row_spec, row_spec, row_spec, row_spec,
+            dt_spec,
+            dt_spec if isdf else pl.BlockSpec(
+                (1, ts), lambda f, t: (0, t), memory_space=pltpu.VMEM
+            ),
+            col_spec, row_spec,
         ],
         out_specs=pl.BlockSpec((1, R, Wx), lambda f, t: (f, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nsteps_f, R, Wx), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=jax.default_backend() == "cpu",
-    )(scale, ghi, glo, dpl, ixr, iyr, iur, ivr)
+    )(scale, ghi, glo, dthi, dtlo, ixc, iyr)
 
     out = out.reshape(nsteps_f, Wy, nlimb, A8, Wx)
     out = jnp.transpose(out, (4, 1, 0, 3, 2)).reshape(
@@ -411,25 +400,22 @@ def fused_contract_tile(G, dtile_t, lx, ly, lu, lv, Wx, Wy, Wu, Wv,
     return out, sexp
 
 
-def dm_tile_t(block, Wu, Wv, nfu, nfv):
-    """Host/XLA helper: (Wu*nfu, Wv*nfv) dense dm block -> the
-    (Wv*r8(nfu*nfv), Wu) TRANSPOSED row layout ``fused_contract_tile``
-    expects (rows v-major, o = fu*nfv + fv minor, padded to r8)."""
-    nfo = nfu * nfv
+def dm_rows_t(vals, nfo):
+    """XLA helper: gathered per-task dm rows (T, nfo) -> the (r8(nfo), T)
+    transposed, row-padded layout ``fused_contract_tile`` expects."""
     O8 = _r8(nfo)
 
-    def one(b):
-        b4 = b.reshape(Wu, nfu, Wv, nfv)
-        rows = jnp.transpose(b4, (2, 1, 3, 0)).reshape(Wv, nfo, Wu)
+    def one(v):
+        r = v.T
         if O8 != nfo:
-            rows = jnp.concatenate(
-                [rows, jnp.zeros((Wv, O8 - nfo, Wu), b.dtype)], axis=1
+            r = jnp.concatenate(
+                [r, jnp.zeros((O8 - nfo, r.shape[1]), r.dtype)]
             )
-        return rows.reshape(Wv * O8, Wu)
+        return r
 
-    if isinstance(block, DF64):
-        return DF64(one(block.hi), one(block.lo))
-    return one(block)
+    if isinstance(vals, DF64):
+        return DF64(one(vals.hi), one(vals.lo))
+    return one(vals)
 
 
 def tile_limbs_to_df64(acc_int32, sexp) -> DF64:

@@ -141,6 +141,118 @@ def _flat(x):
     return x.reshape(-1)
 
 
+def _tile_chunk(tier, G, aos, locs, tbq, ls, dm, nao, with_j, with_k,
+                EJ, EK, bound, eoffs, W, axis_name=None):
+    """Scatter-free accumulation of one chunk into the extended (E, E)
+    Fock accumulators (``accum='tile'``).
+
+    Every task of the chunk belongs to ONE supertile quadruple (the plan
+    guarantees it; ``tbq`` (4,) = per-center tile base shell).  Per
+    output stream xy: gather the complement-pair dm rows (T, nfo) in
+    XLA, then one Pallas kernel (ops/accum_tile.py::fused_contract_tile)
+    contracts G with them and bilinear-one-hot-accumulates the exact
+    integer limb sums of the dense (W, W) shell tile on the MXU -- no
+    per-element scatter anywhere (reference contrast: atomicAdd,
+    jk/1q1t.cu:423-643).  The tile is folded to DF64 and added into the
+    E-space accumulator with one dynamic_update_slice.
+
+    Under ``axis_name`` the int32 limb tiles are psum'd before
+    conversion, so the multi-chip result is bit-identical to the
+    single-chip result of the same plan (integer adds associate)."""
+    from ..ops.accum_tile import (
+        dm_rows_t, fused_contract_tile, tile_limbs_to_df64,
+    )
+
+    ar = get_arith(tier)
+    isdf = tier in ("df64", "fp64")
+    nfs = tuple(_nf(l) for l in ls)
+    T = locs[0].shape[0]
+
+    def blk_idx(ao_x, nx, ao_y, ny):
+        return (
+            (ao_x[:, None, None] + jnp.arange(nx)[None, :, None]) * nao
+            + ao_y[:, None, None]
+            + jnp.arange(ny)[None, None, :]
+        ).reshape(T, nx * ny)
+
+    def dm_blk(idx):
+        if isdf:
+            return df.DF64(
+                jnp.take(dm.hi.reshape(-1), idx),
+                jnp.take(dm.lo.reshape(-1), idx),
+            )
+        return jnp.take(dm.reshape(-1), idx)
+
+    def t12(x):
+        if isdf:
+            return df.DF64(x.hi.transpose(0, 2, 1), x.lo.transpose(0, 2, 1))
+        return x.transpose(0, 2, 1)
+
+    def perm(x4, axes, m, n):
+        if isdf:
+            return df.DF64(
+                x4.hi.transpose(axes).reshape(T, m, n),
+                x4.lo.transpose(axes).reshape(T, m, n),
+            )
+        return x4.transpose(axes).reshape(T, m, n)
+
+    nfa, nfb, nfc, nfd = nfs
+    streams = []
+    if with_j:
+        streams += [("j", 0, 1, 2, 3, G, 2.0), ("j", 2, 3, 0, 1, t12(G), 2.0)]
+    if with_k:
+        shape5 = (T, nfa, nfb, nfc, nfd)
+        G4 = (
+            df.DF64(G.hi.reshape(shape5), G.lo.reshape(shape5))
+            if isdf
+            else G.reshape(shape5)
+        )
+        streams += [
+            ("k", 0, 2, 1, 3, perm(G4, (0, 1, 3, 2, 4), nfa * nfc, nfb * nfd), 1.0),
+            ("k", 0, 3, 1, 2, perm(G4, (0, 1, 4, 2, 3), nfa * nfd, nfb * nfc), 1.0),
+            ("k", 1, 2, 0, 3, perm(G4, (0, 2, 3, 1, 4), nfb * nfc, nfa * nfd), 1.0),
+            ("k", 1, 3, 0, 2, perm(G4, (0, 2, 4, 1, 3), nfb * nfd, nfa * nfc), 1.0),
+        ]
+    for kind, xi, yi, ui, vi, Gp, fac in streams:
+        nfo = nfs[ui] * nfs[vi]
+        dvals = dm_blk(blk_idx(aos[ui], nfs[ui], aos[vi], nfs[vi]))
+        if fac != 1.0:
+            dvals = ar.mul_f32(dvals, fac)  # exact: power of two
+        dt = dm_rows_t(dvals, nfo)
+        lx = jnp.clip(locs[xi] - tbq[xi], 0, W - 1)
+        ly = jnp.clip(locs[yi] - tbq[yi], 0, W - 1)
+        limbs, sexp = fused_contract_tile(Gp, dt, lx, ly, W, W, bound)
+        li = limbs.astype(jnp.int32)
+        if axis_name is not None:
+            li = jax.lax.psum(li, axis_name)
+        dd = tile_limbs_to_df64(li, sexp)  # (W, W, nfx*nfy) DF64
+        nfx, nfy = nfs[xi], nfs[yi]
+
+        def fold2(x):
+            return x.reshape(W, W, nfx, nfy).transpose(0, 2, 1, 3).reshape(
+                W * nfx, W * nfy
+            )
+
+        dd = df.DF64(fold2(dd.hi), fold2(dd.lo))
+        r0 = eoffs[xi] + tbq[xi] * nfx
+        c0 = eoffs[yi] + tbq[yi] * nfy
+        tgt = EJ if kind == "j" else EK
+        cur = df.DF64(
+            jax.lax.dynamic_slice(tgt.hi, (r0, c0), (W * nfx, W * nfy)),
+            jax.lax.dynamic_slice(tgt.lo, (r0, c0), (W * nfx, W * nfy)),
+        )
+        new = df.add(cur, dd)
+        tgt = df.DF64(
+            jax.lax.dynamic_update_slice(tgt.hi, new.hi, (r0, c0)),
+            jax.lax.dynamic_update_slice(tgt.lo, new.lo, (r0, c0)),
+        )
+        if kind == "j":
+            EJ = tgt
+        else:
+            EK = tgt
+    return EJ, EK
+
+
 def _cat_vals(parts):
     if isinstance(parts[0], df.DF64):
         return df.DF64(
@@ -152,7 +264,8 @@ def _cat_vals(parts):
 
 def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
                      tables, tasks, dm, vj, vk, bound, axis_name=None,
-                     accum="scatter", nrows=0, tile=8, n_dm=1, chunk_b=None):
+                     accum="scatter", nrows=0, tile=8, n_dm=1, chunk_b=None,
+                     eoffs=None, tile_w=64):
     """Traced body of one class scan (shared by the per-class, fused, and
     sharded execution paths).
 
@@ -177,7 +290,8 @@ def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
     reference leans on atomicAdd for these 2.5G adds per Fock build);
     the MXU matmul is its strength."""
     isdf = tier in ("df64", "fp64")
-    assert not (accum == "block" and n_dm > 1)  # driver loops dms instead
+    # driver loops dms (or overrides to scatter) instead
+    assert not (accum in ("block", "tile") and n_dm > 1)
     nfs = tuple(_nf(l) for l in ls)
 
     def _accum_scatter(acc, streams):
@@ -266,11 +380,15 @@ def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
         vj, vk = carry
         if accum == "block":
             ja, jb, jc, jd, wc, gs, tb4 = t
-        else:
-            # block-grouped plans carry (gslot, tb4) extras; a scatter
-            # override (multi-dm) just ignores them
-            ja, jb, jc, jd, wc = t[:5]
+            tbq = None
+        elif accum == "tile":
+            ja, jb, jc, jd, wc, tbq = t
             gs = tb4 = None
+        else:
+            # block/tile-grouped plans carry extras; a scatter override
+            # (multi-dm) just ignores them
+            ja, jb, jc, jd, wc = t[:5]
+            gs = tb4 = tbq = None
         geom = {}
         for name, tbl, idx in zip("abcd", tables, (ja, jb, jc, jd)):
             coord, exps, coefs, _ = tbl
@@ -287,6 +405,15 @@ def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
             jnp.take(tbl[3], idx)
             for tbl, idx in zip(tables, (ja, jb, jc, jd))
         )
+        if accum == "tile":
+            # scatter-free: fused contract+tile-accumulate kernel into
+            # the extended (E, E) accumulators (vj/vk ARE those here)
+            vj, vk = _tile_chunk(
+                tier, G, aos, (ja, jb, jc, jd), tbq, ls, dm, nao,
+                with_j, with_k, vj, vk, bound, eoffs, tile_w,
+                axis_name=axis_name,
+            )
+            return (vj, vk), None
         # one ERI evaluation, n_dm contractions (reference: n_dm compiled
         # into the kernel, backend/jk_1qnt.py n_dm template arg)
         jstreams, kstreams = [], []
@@ -346,15 +473,19 @@ def _fused_scan_fn(sig, nao, with_j, with_k, omega=0.0, n_dm=1):
 
 @lru_cache(maxsize=None)
 def _class_scan_fn(ls, nprims, tier, nao, with_j, with_k, omega=0.0,
-                   accum="scatter", nrows=0, tile=8, n_dm=1, chunk_b=None):
+                   accum="scatter", nrows=0, tile=8, n_dm=1, chunk_b=None,
+                   eoffs=None, tile_w=64):
     """Jitted Fock-contribution scan for ONE task class (profile path).
 
     Signature: fn(tables, tasks, dm, vj, vk) -> (vj, vk), where
       tables = ((coord, exps, coefs, ao) per center a..d)  [ar-native]
       tasks  = (i_a, i_b, i_c, i_d, w[, gslot, tilebase]):
                (nchunk, B) int32 / f32 (+ (nchunk, G, 4) tile bases for
-               the block-accumulation plan)
-      dm     = (nao, nao) ar-native; vj/vk DF64 (nao*nao,) accumulators.
+               the block-accumulation plan, or (nchunk, 4) supertile
+               bases for the tile plan)
+      dm     = (nao, nao) ar-native; vj/vk DF64 (nao*nao,) accumulators
+               (accum='tile': the (E, E) extended accumulators instead;
+               eoffs = the 4 class E-row offsets, tile_w = W).
     """
 
     def fn(tables, tasks, dm, vj, vk, bound):
@@ -362,6 +493,7 @@ def _class_scan_fn(ls, nprims, tier, nao, with_j, with_k, omega=0.0,
             ls, nprims, tier, nao, with_j, with_k, omega,
             tables, tasks, dm, vj, vk, bound,
             accum=accum, nrows=nrows, tile=tile, n_dm=n_dm, chunk_b=chunk_b,
+            eoffs=eoffs, tile_w=tile_w,
         )
 
     return jax.jit(fn, donate_argnums=(3, 4))
@@ -370,7 +502,8 @@ def _class_scan_fn(ls, nprims, tier, nao, with_j, with_k, omega=0.0,
 @lru_cache(maxsize=None)
 def _sharded_class_scan_fn(mesh, ls, nprims, tier, nao, with_j, with_k,
                            omega=0.0, n_dm=1, accum="scatter", nrows=0,
-                           tile=8, chunk_b=None, n_tasks=5):
+                           tile=8, chunk_b=None, n_tasks=5, eoffs=None,
+                           tile_w=64):
     """Multi-chip variant of ``_class_scan_fn``: the task chunks (axis 1,
     the within-chunk batch) are sharded over the mesh's ``tasks`` axis;
     dm / tables / accumulators are replicated; the per-chunk int32 limb
@@ -390,6 +523,7 @@ def _sharded_class_scan_fn(mesh, ls, nprims, tier, nao, with_j, with_k,
             ls, nprims, tier, nao, with_j, with_k, omega,
             tables, tasks, dm, vj, vk, bound, axis_name="tasks",
             n_dm=n_dm, accum=accum, nrows=nrows, tile=tile, chunk_b=chunk_b,
+            eoffs=eoffs, tile_w=tile_w,
         )
 
     if n_tasks == 7:
@@ -399,6 +533,10 @@ def _sharded_class_scan_fn(mesh, ls, nprims, tier, nao, with_j, with_k,
         # whenever the PLAN is block-grouped, even if accum was
         # overridden to scatter for a multi-dm pass.)
         task_specs = (P(None, "tasks"),) * 6 + (P(),)
+    elif n_tasks == 6:
+        # tile plan: (ia..id, w) shard; supertile bases (nchunk, 4)
+        # replicated
+        task_specs = (P(None, "tasks"),) * 5 + (P(),)
     else:
         task_specs = (P(None, "tasks"),) * 5
     sharded = _shard_map(
@@ -507,6 +645,7 @@ class JKEngine:
         merge_nprim: bool | None = None,
         accum: str = "auto",
         tile: int = 8,
+        tile_w: int = 64,
     ):
         self.layout = layout
         self.nao = layout.nao_int
@@ -514,17 +653,25 @@ class JKEngine:
         self.cutoff_fp64 = cutoff_fp64
         # Fock accumulation strategy: "scatter" = per-element int32-limb
         # scatter-add; "block" = tile-grouped exact int8 MXU reduction
-        # first, then a block-row scatter (ops/accum.py::block_accumulate)
+        # first, then a block-row scatter (ops/accum.py::block_accumulate);
+        # "tile" = supertile-grouped plans + the fused contract+bilinear-
+        # one-hot MXU kernel into a dense extended (E, E) accumulator with
+        # NO scatter anywhere (ops/accum_tile.py; one final fold matmul)
         # -- the per-element scatter serializes on TPU and dominates large
         # Fock builds.  "auto" (default) picks per class from the
         # per-device autotune table (utils/autotune.py; the analogue of
         # the reference's per-device scheme files, jqc/backend/data/),
         # falling back to scatter where untuned.  Multi-dm batches
-        # override block->scatter per entry (the one-hot reduction is
+        # override block/tile->scatter per entry (those reductions are
         # single-dm; batching limbs over dms is future work).
-        # ``tile`` = shell-tile edge S (rows per block = S^2).
+        # ``tile`` = shell-tile edge S (rows per block = S^2) of the
+        # block path; ``tile_w`` = supertile shell width W of the tile
+        # path.
         self.accum = accum
         self.tile = tile
+        self.tile_w = tile_w
+        self._eoff = None
+        self._efold_mat = None
         # multi-chip: a jax.sharding.Mesh with a "tasks" axis; task batches
         # are sharded over it and limb scatters psum'd exactly, so the
         # sharded get_jk is bit-identical to the single-chip one
@@ -553,6 +700,40 @@ class JKEngine:
         # already overlaps host and device, so fusing only pays when
         # dispatch cost grows (very many tiny classes); keep it opt-in.
         self.fuse_group = None
+
+    # ------------------------------------------------------------- espace
+    def _espace(self):
+        """Extended AO row space for tile accumulation: one contiguous
+        row range per class of max(ns, W)*nf rows (shell-major,
+        component-minor), so every supertile flush is one dense
+        dynamic_update_slice.  Segments of split contractions occupy
+        separate E rows; the fold matrix recombines them exactly."""
+        if self._eoff is None:
+            W = self.tile_w
+            offs = []
+            E = 0
+            for c in self.classes:
+                offs.append(E)
+                E += max(c.nshell - 1, W) * _nf(c.l)
+            self._eoff = (offs, E)
+        return self._eoff
+
+    def _efold(self):
+        """(E, nao) 0/1 fold matrix: E-space rows -> internal AO rows.
+        vj_int = R^T @ VJ_E @ R (host f64 matmuls, exact: 0/1 weights)."""
+        if self._efold_mat is None:
+            offs, E = self._espace()
+            R = np.zeros((E, self.nao))
+            for c, off in zip(self.classes, offs):
+                nf = _nf(c.l)
+                ns = c.nshell - 1
+                rows = (
+                    off + np.arange(ns)[:, None] * nf + np.arange(nf)
+                ).ravel()
+                cols = (c.ao[:ns, None] + np.arange(nf)).ravel()
+                R[rows, cols] = 1.0
+            self._efold_mat = R
+        return self._efold_mat
 
     # -------------------------------------------------------------- tables
     def _tables(self, tier):
@@ -818,12 +999,100 @@ class JKEngine:
                     id0 = p2.j_loc[s2]
                     accum, extra = "scatter", None
                     want_block = self.accum == "block"
+                    want_tile = self.accum == "tile"
                     if self.accum == "auto":
                         from ..utils.autotune import tuned_accum
 
-                        want_block = (
-                            tuned_accum(ls, nprims, tier) == "block"
+                        tuned = tuned_accum(ls, nprims, tier)
+                        want_block = tuned == "block"
+                        want_tile = tuned == "tile"
+                    if want_tile and B % 128 == 0 and B * 127 < (1 << 24):
+                        # supertile-quadruple grouping for the scatter-
+                        # free fused kernel (each chunk's tasks live in
+                        # ONE (W-shell)^4 supertile; pad within groups)
+                        Wt = self.tile_w
+                        ns4 = [x.nshell - 1 for x in c]
+                        nt4 = [max(1, -(-ns // Wt)) for ns in ns4]
+                        locs4 = (ia0, ib0, ic0, id0)
+                        karr = [
+                            np.minimum(a // Wt, nt - 1)
+                            for a, nt in zip(locs4, nt4)
+                        ]
+                        key = (
+                            (karr[0].astype(np.int64) * nt4[1] + karr[1])
+                            * nt4[2] + karr[2]
+                        ) * nt4[3] + karr[3]
+                        order = np.argsort(key, kind="stable")
+                        ia0, ib0, ic0, id0 = (
+                            ia0[order], ib0[order], ic0[order], id0[order]
                         )
+                        sw = sw[order]
+                        key = key[order]
+                        ukey, counts = np.unique(key, return_counts=True)
+                        m = (-(-counts // B) * B).astype(np.int64)
+                        out_start = np.concatenate(
+                            [[0], np.cumsum(m)]
+                        )[:-1]
+                        task_start = np.concatenate(
+                            [[0], np.cumsum(counts)]
+                        )[:-1]
+                        pos = (
+                            np.arange(n)
+                            - np.repeat(task_start, counts)
+                            + np.repeat(out_start, counts)
+                        )
+                        nchunk_req = int(m.sum()) // B
+                        nchunk_pow2 = 1 << int(
+                            np.ceil(np.log2(max(nchunk_req, 1)))
+                        )
+                        ntot_f = nchunk_pow2 * B
+
+                        def place(arr, padval, dt):
+                            out = np.full(ntot_f, padval, dt)
+                            out[pos] = arr
+                            return out
+
+                        ia = place(ia0, c[0].nshell, np.int32)
+                        ib = place(ib0, c[1].nshell, np.int32)
+                        ic = place(ic0, c[2].nshell, np.int32)
+                        idd = place(id0, c[3].nshell, np.int32)
+                        ww = place(sw, 0.0, np.float32)
+                        # decode per-group tile bases from the key
+                        r = ukey
+                        kd = r % nt4[3]; r //= nt4[3]
+                        kc = r % nt4[2]; r //= nt4[2]
+                        kb = r % nt4[1]; ka = r // nt4[1]
+                        b4 = np.stack(
+                            [
+                                np.minimum(k * Wt, max(ns - Wt, 0))
+                                for k, ns in zip((ka, kb, kc, kd), ns4)
+                            ],
+                            axis=1,
+                        ).astype(np.int32)
+                        tbq = np.repeat(b4, m // B, axis=0)
+                        if nchunk_pow2 > nchunk_req:
+                            tbq = np.vstack(
+                                [tbq, np.zeros(
+                                    (nchunk_pow2 - nchunk_req, 4), np.int32
+                                )]
+                            )
+                        tasks = tuple(
+                            np.asarray(x.reshape(nchunk_pow2, B), dt)
+                            for x, dt in (
+                                (ia, np.int32), (ib, np.int32),
+                                (ic, np.int32), (idd, np.int32),
+                                (ww, np.float32),
+                            )
+                        ) + (tbq,)
+                        plan.append(
+                            dict(
+                                ls=ls, nprims=nprims, tier=tier, ntasks=n,
+                                cls_idx=(p1.ci, p1.cj, p2.ci, p2.cj),
+                                tasks=tasks, bound=float(bound),
+                                accum="tile", nrows=0,
+                            )
+                        )
+                        continue
                     if want_block:
                         # tile-group tasks: 4D shell-tile key, stable sort
                         # (reference contrast: atomicAdd needs no order;
@@ -1001,7 +1270,16 @@ class JKEngine:
 
         vj = df.const(0.0, (n_dm * nao * nao,))
         vk = df.const(0.0, (n_dm * nao * nao,))
-        if self.profile or not self.fuse_group or self.mesh is not None:
+        has_tile = n_dm == 1 and any(
+            e.get("accum") == "tile" for e in plan
+        )
+        EJ = EK = None
+        if has_tile:
+            offs, E = self._espace()
+            EJ = df.const(0.0, (E, E))
+            EK = df.const(0.0, (E, E))
+        if (self.profile or not self.fuse_group or self.mesh is not None
+                or has_tile):
             # per-class launches (async pipeline); profile=True adds a
             # sync per class for accurate attribution
             for entry in plan:
@@ -1011,8 +1289,11 @@ class JKEngine:
                 tbls = tuple(tables[k] for k in entry["cls_idx"])
                 chunk_b = int(entry["tasks"][0].shape[1])
                 accum_e = entry.get("accum", "scatter")
-                if n_dm > 1 and accum_e == "block":
-                    accum_e = "scatter"  # block reduction is single-dm
+                if n_dm > 1 and accum_e in ("block", "tile"):
+                    accum_e = "scatter"  # those reductions are single-dm
+                eoffs = None
+                if accum_e == "tile":
+                    eoffs = tuple(offs[k] for k in entry["cls_idx"])
                 if self.mesh is not None:
                     fn = _sharded_class_scan_fn(
                         self.mesh, entry["ls"], entry["nprims"], tier, nao,
@@ -1020,6 +1301,7 @@ class JKEngine:
                         accum=accum_e,
                         nrows=entry.get("nrows", 0), tile=self.tile,
                         chunk_b=chunk_b, n_tasks=len(entry["tasks"]),
+                        eoffs=eoffs, tile_w=self.tile_w,
                     )
                 else:
                     fn = _class_scan_fn(
@@ -1027,14 +1309,22 @@ class JKEngine:
                         with_k, omega, accum=accum_e,
                         nrows=entry.get("nrows", 0), tile=self.tile,
                         n_dm=n_dm, chunk_b=chunk_b,
+                        eoffs=eoffs, tile_w=self.tile_w,
                     )
-                vj, vk = fn(
-                    tbls, entry["tasks"],
-                    dm_df if tier == "df64" else dm_f32, vj, vk,
-                    entry["bound"],
-                )
+                dm_t = dm_df if tier == "df64" else dm_f32
+                if accum_e == "tile":
+                    EJ, EK = fn(
+                        tbls, entry["tasks"], dm_t, EJ, EK, entry["bound"]
+                    )
+                else:
+                    vj, vk = fn(
+                        tbls, entry["tasks"], dm_t, vj, vk, entry["bound"]
+                    )
                 if self.profile:
-                    jax.block_until_ready(vj.hi if with_j else vk.hi)
+                    sync = EJ if accum_e == "tile" else (
+                        vj if with_j else vk
+                    )
+                    jax.block_until_ready(sync.hi)
                     key = (entry["ls"], entry["nprims"], tier)
                     self.class_time[key] = self.class_time.get(key, 0.0) + (
                         _time.perf_counter() - t0
@@ -1067,6 +1357,14 @@ class JKEngine:
         shape = (nao, nao) if n_dm == 1 else (n_dm, nao, nao)
         vj64 = df.to_f64(vj).reshape(shape) if with_j else None
         vk64 = df.to_f64(vk).reshape(shape) if with_k else None
+        if has_tile:
+            # fold the extended accumulators to internal AO space: one
+            # exact (0/1-weighted) host f64 congruence per target
+            R = self._efold()
+            if with_j:
+                vj64 = vj64 + R.T @ np.asarray(df.to_f64(EJ)) @ R
+            if with_k:
+                vk64 = vk64 + R.T @ np.asarray(df.to_f64(EK)) @ R
         return vj64, vk64
 
     def get_jk(self, dm_mol, with_j=True, with_k=True, omega=0.0, hermi=1,

@@ -84,60 +84,51 @@ def test_tile_accumulate_cross_chunk_int32_carry():
     np.testing.assert_allclose(got, want, atol=1e-12)
 
 
-@pytest.mark.parametrize("tier,nfxy,nfo,nfu,nfv", [
-    ("f32", 3, 3, 3, 1),
-    ("f32", 9, 9, 3, 3),
-    ("df64", 3, 1, 1, 1),
-    ("df64", 9, 4, 2, 2),
+@pytest.mark.parametrize("tier,nfxy,nfo", [
+    ("f32", 3, 3),
+    ("f32", 9, 9),
+    ("df64", 3, 1),
+    ("df64", 9, 4),
+    ("f32", 1, 1),
 ])
-def test_fused_contract_tile_matches_oracle(tier, nfxy, nfo, nfu, nfv):
-    """contract-with-dense-dm-tile + bilinear accumulate vs numpy."""
-    from joltqc_tpu.ops.accum_tile import dm_tile_t, fused_contract_tile
+def test_fused_contract_tile_matches_oracle(tier, nfxy, nfo):
+    """contract-with-dm-rows + bilinear accumulate vs numpy."""
+    from joltqc_tpu.ops.accum_tile import dm_rows_t, fused_contract_tile
 
-    assert nfu * nfv == nfo
     rng = np.random.default_rng(5)
-    T, Wx, Wy, Wu, Wv = 1024, 64, 64, 64, 64
+    T, Wx, Wy = 1024, 64, 64
     G64 = rng.standard_normal((T, nfxy, nfo)) * np.exp(
         rng.uniform(-8, 0, (T, 1, 1))
     )
-    dm64 = rng.standard_normal((Wu * nfu, Wv * nfv))
+    drow64 = rng.standard_normal((T, nfo))
     lx = rng.integers(0, Wx, T).astype(np.int32)
     ly = rng.integers(0, Wy, T).astype(np.int32)
-    lu = rng.integers(0, Wu, T).astype(np.int32)
-    lv = rng.integers(0, Wv, T).astype(np.int32)
-    bound = jnp.float32(np.abs(G64).max() * np.abs(dm64).max() * nfo * 2)
+    bound = jnp.float32(np.abs(G64).max() * np.abs(drow64).max() * nfo * 2)
 
     if tier == "df64":
         G = df.from_f64(G64)
-        dmb = df.from_f64(dm64)
+        drow = df.from_f64(drow64)
     else:
         G = jnp.asarray(G64.astype(np.float32))
         G64 = np.asarray(G, np.float64)
-        dmb = jnp.asarray(dm64.astype(np.float32))
-        dm64 = np.asarray(dmb, np.float64)
+        drow = jnp.asarray(drow64.astype(np.float32))
+        drow64 = np.asarray(drow, np.float64)
 
-    dt = dm_tile_t(dmb, Wu, Wv, nfu, nfv)
+    dt = dm_rows_t(drow, nfo)
     fn = jax.jit(
-        lambda g, d, a, b, c, e: fused_contract_tile(
-            g, d, a, b, c, e, Wx, Wy, Wu, Wv, bound
-        )
+        lambda g, d, a, b: fused_contract_tile(g, d, a, b, Wx, Wy, bound)
     )
-    limbs, sexp = fn(G, dt, jnp.asarray(lx), jnp.asarray(ly),
-                     jnp.asarray(lu), jnp.asarray(lv))
+    limbs, sexp = fn(G, dt, jnp.asarray(lx), jnp.asarray(ly))
     got = np.asarray(
         df.to_f64(tile_limbs_to_df64(limbs.astype(jnp.int32), sexp))
     )
 
-    # numpy oracle: per-task dm row gather + contraction + dense add
-    drow = dm64.reshape(Wu, nfu, Wv, nfv).transpose(0, 2, 1, 3).reshape(
-        Wu, Wv, nfo
-    )
-    vals = np.einsum("tao,to->ta", G64, drow[lu, lv])
+    vals = np.einsum("tao,to->ta", G64, drow64)
     want = np.zeros((Wx, Wy, nfxy))
     np.add.at(want, (lx, ly), vals)
     # the in-kernel contraction rounds per f32 op like the scatter path;
     # tolerance scales with the contraction length
-    scale = np.abs(G64).max() * np.abs(dm64).max() * nfo * T
+    scale = np.abs(G64).max() * np.abs(drow64).max() * nfo * T
     tol = (1e-14 if tier == "df64" else 2e-7) * scale
     np.testing.assert_allclose(got, want, atol=tol)
 

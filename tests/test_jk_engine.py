@@ -189,6 +189,42 @@ def test_jk_block_accumulation_matches_scatter():
     assert np.array_equal(vj_b, vj_b2) and np.array_equal(vk_b, vk_b2)
 
 
+def test_jk_tile_accumulation_matches_scatter():
+    """Fused contract+tile accumulation (scatter-free dense E-space
+    assembly, ops/accum_tile.py) == per-element scatter path.
+
+    The tile path's contraction rounds per f32/DF64 op like the scatter
+    path's, and its accumulation is exact (integer limb tiles + 0/1 fold
+    matmuls), so the two agree to reassembly precision; the tile path is
+    bitwise-deterministic across runs."""
+    mol = Molecule.from_atom_string(H2O, basis="6-31g")
+    dm = _rand_sym_dm(mol.nao, seed=6)
+    lay = BasisLayout(mol)
+    eng_s = JKEngine(lay, cutoff_fp32=1e-14, cutoff_fp64=1e-7)
+    eng_t = JKEngine(lay, cutoff_fp32=1e-14, cutoff_fp64=1e-7,
+                     accum="tile", tile_w=8)
+    vj_s, vk_s = eng_s.get_jk(dm)
+    vj_t, vk_t = eng_t.get_jk(dm)
+    assert any(e.get("accum") == "tile" for e in eng_t._plan)
+    scale = max(np.abs(vj_s).max(), 1.0)
+    assert np.abs(vj_t - vj_s).max() < 1e-9 * scale
+    assert np.abs(vk_t - vk_s).max() < 1e-9 * scale
+    vj_t2, vk_t2 = eng_t.get_jk(dm)
+    assert np.array_equal(vj_t, vj_t2) and np.array_equal(vk_t, vk_t2)
+
+
+def test_jk_tile_vs_oracle_sto3g():
+    """Tile path straight against the dense numpy ERI oracle."""
+    mol = Molecule.from_atom_string(H2O, basis="sto-3g")
+    dm = _rand_sym_dm(mol.nao, seed=7)
+    vj_ref, vk_ref = _ref_jk(mol, dm)
+    eng = JKEngine(BasisLayout(mol), cutoff_fp32=1e-14, cutoff_fp64=1e-7,
+                   accum="tile", tile_w=8)
+    vj, vk = eng.get_jk(dm)
+    assert np.abs(vj - vj_ref).max() < 1e-6, np.abs(vj - vj_ref).max()
+    assert np.abs(vk - vk_ref).max() < 1e-6, np.abs(vk - vk_ref).max()
+
+
 def test_multi_dm_batched_vs_looped():
     """Batched n_dm path (one ERI pass, n_dm contractions) vs per-dm calls.
 
