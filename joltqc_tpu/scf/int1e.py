@@ -295,8 +295,12 @@ class Int1eEngine:
             B = min(self.chunk, 1 << int(np.ceil(np.log2(max(P, 64)))))
             nchunk = -(-P // B)
             pad = nchunk * B - P
-            ii = np.concatenate([pc.i_loc, np.full(pad, c1.nshell, np.int32)])
-            jj = np.concatenate([pc.j_loc, np.full(pad, c2.nshell, np.int32)])
+            # pads -> the in-range zero-coef pad shell (index nshell-1):
+            # out-of-range indices hit jnp.take's NaN-fill semantics
+            ii = np.concatenate(
+                [pc.i_loc, np.full(pad, c1.nshell - 1, np.int32)])
+            jj = np.concatenate(
+                [pc.j_loc, np.full(pad, c2.nshell - 1, np.int32)])
             w = np.concatenate(
                 [np.where(pc.diag, 0.5, 1.0), np.zeros(pad)]
             ).astype(np.float32)

