@@ -152,7 +152,7 @@ def _flat(x):
 
 
 def _tile_chunk(tier, G, aos, locs, tbq, ls, dm, nao, with_j, with_k,
-                EJ, EK, bound, eoffs, W, axis_name=None):
+                EJ, EK, bound, eoffs, W, axis_name=None, n_dm=1):
     """Scatter-free accumulation of one chunk into the extended (E, E)
     Fock accumulators (``accum='tile'``).
 
@@ -225,19 +225,16 @@ def _tile_chunk(tier, G, aos, locs, tbq, ls, dm, nao, with_j, with_k,
             ("k", 1, 2, 0, 3, perm(G4, (0, 2, 3, 1, 4), nfb * nfc, nfa * nfd), 1.0),
             ("k", 1, 3, 0, 2, perm(G4, (0, 2, 4, 1, 3), nfb * nfd, nfa * nfc), 1.0),
         ]
+    # n_dm > 1: the ERI evaluation and the G stream permutations are
+    # shared; only the dm gather + fused kernel run per density (the
+    # reference compiles n_dm into its kernels, backend/jk_1qnt.py).
+    # EJ/EK are (E, E) for n_dm == 1 (the common SCF case) and
+    # (n_dm, E, E) for batches.
     for kind, xi, yi, ui, vi, Gp, fac in streams:
         nfo = nfs[ui] * nfs[vi]
-        dvals = dm_blk(blk_idx(aos[ui], nfs[ui], aos[vi], nfs[vi]))
-        if fac != 1.0:
-            dvals = ar.mul_f32(dvals, fac)  # exact: power of two
-        dt = dm_rows_t(dvals, nfo)
+        base_idx = blk_idx(aos[ui], nfs[ui], aos[vi], nfs[vi])
         lx = jnp.clip(locs[xi] - tbq[xi], 0, W - 1)
         ly = jnp.clip(locs[yi] - tbq[yi], 0, W - 1)
-        limbs, sexp = fused_contract_tile(Gp, dt, lx, ly, W, W, bound)
-        li = limbs.astype(jnp.int32)
-        if axis_name is not None:
-            li = jax.lax.psum(li, axis_name)
-        dd = tile_limbs_to_df64(li, sexp)  # (W, W, nfx*nfy) DF64
         nfx, nfy = nfs[xi], nfs[yi]
 
         def fold2(x):
@@ -245,19 +242,39 @@ def _tile_chunk(tier, G, aos, locs, tbq, ls, dm, nao, with_j, with_k,
                 W * nfx, W * nfy
             )
 
-        dd = df.DF64(fold2(dd.hi), fold2(dd.lo))
         r0 = eoffs[xi] + tbq[xi] * nfx
         c0 = eoffs[yi] + tbq[yi] * nfy
         tgt = EJ if kind == "j" else EK
-        cur = df.DF64(
-            jax.lax.dynamic_slice(tgt.hi, (r0, c0), (W * nfx, W * nfy)),
-            jax.lax.dynamic_slice(tgt.lo, (r0, c0), (W * nfx, W * nfy)),
-        )
-        new = df.add(cur, dd)
-        tgt = df.DF64(
-            jax.lax.dynamic_update_slice(tgt.hi, new.hi, (r0, c0)),
-            jax.lax.dynamic_update_slice(tgt.lo, new.lo, (r0, c0)),
-        )
+        for d in range(n_dm):
+            dvals = dm_blk(base_idx + d * nao * nao)
+            if fac != 1.0:
+                dvals = ar.mul_f32(dvals, fac)  # exact: power of two
+            dt = dm_rows_t(dvals, nfo)
+            limbs, sexp = fused_contract_tile(Gp, dt, lx, ly, W, W, bound)
+            li = limbs.astype(jnp.int32)
+            if axis_name is not None:
+                li = jax.lax.psum(li, axis_name)
+            dd = tile_limbs_to_df64(li, sexp)  # (W, W, nfx*nfy) DF64
+            dd = df.DF64(fold2(dd.hi), fold2(dd.lo))
+            start = (
+                (r0, c0) if n_dm == 1
+                else (jnp.int32(d), r0, c0)  # match traced r0/c0 dtype
+            )
+            size = (
+                (W * nfx, W * nfy) if n_dm == 1
+                else (1, W * nfx, W * nfy)
+            )
+            if n_dm > 1:
+                dd = df.DF64(dd.hi[None], dd.lo[None])
+            cur = df.DF64(
+                jax.lax.dynamic_slice(tgt.hi, start, size),
+                jax.lax.dynamic_slice(tgt.lo, start, size),
+            )
+            new = df.add(cur, dd)
+            tgt = df.DF64(
+                jax.lax.dynamic_update_slice(tgt.hi, new.hi, start),
+                jax.lax.dynamic_update_slice(tgt.lo, new.lo, start),
+            )
         if kind == "j":
             EJ = tgt
         else:
@@ -302,8 +319,9 @@ def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
     reference leans on atomicAdd for these 2.5G adds per Fock build);
     the MXU matmul is its strength."""
     isdf = tier in ("df64", "fp64")
-    # driver loops dms (or overrides to scatter) instead
-    assert not (accum in ("block", "tile") and n_dm > 1)
+    # block reductions are single-dm (driver loops or overrides to
+    # scatter); the tile path batches dms natively (one ERI pass)
+    assert not (accum == "block" and n_dm > 1)
     nfs = tuple(_nf(l) for l in ls)
 
     def _accum_scatter(acc, streams):
@@ -423,7 +441,7 @@ def _class_scan_body(ls, nprims, tier, nao, with_j, with_k, omega,
             vj, vk = _tile_chunk(
                 tier, G, aos, (ja, jb, jc, jd), tbq, ls, dm, nao,
                 with_j, with_k, vj, vk, bound, eoffs, tile_w,
-                axis_name=axis_name,
+                axis_name=axis_name, n_dm=n_dm,
             )
             return (vj, vk), None
         # one ERI evaluation, n_dm contractions (reference: n_dm compiled
@@ -570,6 +588,12 @@ def _dev_array(x):
     [0.125, 1] and 0) are exact in f16, so those are shipped narrow and
     widened on device (one cheap cast each)."""
     x = np.asarray(x)
+    # disk plans arrive pre-narrowed (utils/plancache._narrow, possibly
+    # memory-mapped): ship as-is, widen on device
+    if x.dtype == np.int16:
+        return jnp.asarray(x).astype(jnp.int32)
+    if x.dtype == np.float16:
+        return jnp.asarray(x).astype(jnp.float32)
     if x.dtype == np.int32 and x.size:
         mx = int(x.max())
         mn = int(x.min())
@@ -583,14 +607,29 @@ def _dev_array(x):
 
 
 def _plan_to_device(plan):
-    """Convert a host (numpy) plan to a device-resident plan, once."""
+    """Host plan -> entries whose device upload happens LAZILY.
+
+    The bench plan is GB-scale (131M tasks at 486 AO); uploading it all
+    before the first class scan serializes a multi-GB tunnel transfer in
+    front of the compute.  Entries keep their (memory-mapped) numpy task
+    arrays; ``_entry_tasks_dev`` uploads each entry once on first use --
+    uploads overlap compiles/executions of earlier entries, and SCF
+    iterations 2+ reuse the cached device refs."""
     out = []
     for e in plan:
         d = dict(e)
-        d["tasks"] = tuple(_dev_array(t) for t in e["tasks"])
         d["bound"] = jnp.asarray(np.float32(e["bound"]))
         out.append(d)
     return out
+
+
+def _entry_tasks_dev(entry):
+    """Device-resident task arrays for one plan entry (cached)."""
+    dev = entry.get("_tasks_dev")
+    if dev is None:
+        dev = tuple(_dev_array(t) for t in entry["tasks"])
+        entry["_tasks_dev"] = dev
+    return dev
 
 
 def _chunk_size(ls, ntasks=None, target_elems=1 << 21, nprims=None, tier=None):
@@ -1022,6 +1061,17 @@ class JKEngine:
                         tuned = tuned_accum(ls, nprims, tier)
                         want_block = tuned == "block"
                         want_tile = tuned == "tile"
+                        if tuned is None:
+                            # untuned class: default to the scatter-free
+                            # tile path on TPU -- the per-element scatter
+                            # serializes at ~40M rows/s and dominated the
+                            # r3 bench (80-95% of class-scan time); the
+                            # fused MXU tile kernel replaces it outright.
+                            # A committed/measured autotune table
+                            # overrides per class (utils/autotune.py).
+                            import jax as _jax
+
+                            want_tile = _jax.default_backend() == "tpu"
                     if want_tile and B % 128 == 0 and B * 127 < (1 << 24):
                         # supertile-quadruple grouping for the scatter-
                         # free fused kernel (each chunk's tasks live in
@@ -1045,6 +1095,17 @@ class JKEngine:
                         sw = sw[order]
                         key = key[order]
                         ukey, counts = np.unique(key, return_counts=True)
+                        # adapt the chunk to the supertile-group sizes:
+                        # per-group pow2 padding at a huge B inflates
+                        # entries whose groups are all small (observed
+                        # up to 20x task inflation at B=16384 over ~100
+                        # small groups).  One B per entry keeps one
+                        # compiled shape.
+                        B = max(128, min(B, 1 << int(
+                            np.ceil(np.log2(int(counts.max())))
+                        )))
+                        if self._ndev > 1:
+                            B = -(-B // self._ndev) * self._ndev
                         m = (-(-counts // B) * B).astype(np.int64)
                         out_start = np.concatenate(
                             [[0], np.cumsum(m)]
@@ -1300,14 +1361,13 @@ class JKEngine:
 
         vj = df.const(0.0, (n_dm * nao * nao,))
         vk = df.const(0.0, (n_dm * nao * nao,))
-        has_tile = n_dm == 1 and any(
-            e.get("accum") == "tile" for e in plan
-        )
+        has_tile = any(e.get("accum") == "tile" for e in plan)
         EJ = EK = None
         if has_tile:
             offs, E = self._espace()
-            EJ = df.const(0.0, (E, E))
-            EK = df.const(0.0, (E, E))
+            eshape = (E, E) if n_dm == 1 else (n_dm, E, E)
+            EJ = df.const(0.0, eshape)
+            EK = df.const(0.0, eshape)
         if (self.profile or not self.fuse_group or self.mesh is not None
                 or has_tile):
             # per-class launches (async pipeline); profile=True adds a
@@ -1319,8 +1379,8 @@ class JKEngine:
                 tbls = tuple(tables[k] for k in entry["cls_idx"])
                 chunk_b = int(entry["tasks"][0].shape[1])
                 accum_e = entry.get("accum", "scatter")
-                if n_dm > 1 and accum_e in ("block", "tile"):
-                    accum_e = "scatter"  # those reductions are single-dm
+                if n_dm > 1 and accum_e == "block":
+                    accum_e = "scatter"  # block reduction is single-dm
                 eoffs = None
                 if accum_e == "tile":
                     eoffs = tuple(offs[k] for k in entry["cls_idx"])
@@ -1344,11 +1404,13 @@ class JKEngine:
                 dm_t = dm_df if tier == "df64" else dm_f32
                 if accum_e == "tile":
                     EJ, EK = fn(
-                        tbls, entry["tasks"], dm_t, EJ, EK, entry["bound"]
+                        tbls, _entry_tasks_dev(entry), dm_t, EJ, EK,
+                        entry["bound"]
                     )
                 else:
                     vj, vk = fn(
-                        tbls, entry["tasks"], dm_t, vj, vk, entry["bound"]
+                        tbls, _entry_tasks_dev(entry), dm_t, vj, vk,
+                        entry["bound"]
                     )
                 if self.profile:
                     sync = EJ if accum_e == "tile" else (
@@ -1377,7 +1439,7 @@ class JKEngine:
                     tuple(self._tables(e["tier"])[k] for k in e["cls_idx"])
                     for e in group
                 )
-                tasks_list = tuple(e["tasks"] for e in group)
+                tasks_list = tuple(_entry_tasks_dev(e) for e in group)
                 bounds = tuple(e["bound"] for e in group)
                 fn = _fused_scan_fn(sig, nao, with_j, with_k, omega,
                                     n_dm=n_dm)
@@ -1391,10 +1453,17 @@ class JKEngine:
             # fold the extended accumulators to internal AO space: one
             # exact (0/1-weighted) host f64 congruence per target
             R = self._efold()
+
+            def fold(Ex):
+                Ex = np.asarray(df.to_f64(Ex))
+                if n_dm == 1:
+                    return R.T @ Ex @ R
+                return np.stack([R.T @ Ex[d] @ R for d in range(n_dm)])
+
             if with_j:
-                vj64 = vj64 + R.T @ np.asarray(df.to_f64(EJ)) @ R
+                vj64 = vj64 + fold(EJ)
             if with_k:
-                vk64 = vk64 + R.T @ np.asarray(df.to_f64(EK)) @ R
+                vk64 = vk64 + fold(EK)
         return vj64, vk64
 
     def get_jk(self, dm_mol, with_j=True, with_k=True, omega=0.0, hermi=1,

@@ -51,17 +51,29 @@ def _table_path(device: str | None = None) -> str:
 
 
 def load_table() -> dict:
-    """{'(ls)|(nprims)|tier': chunk} for the current device ({} if none)."""
+    """{'(ls)|(nprims)|tier': chunk} for the current device ({} if none).
+
+    Resolution order: the repo-committed per-device table
+    (joltqc_tpu/data/autotune_<device>.json -- the analogue of the
+    reference's shipped optimal_scheme_*.json, jqc/backend/jk.py:38-53)
+    is the base; a user-cache table (~/.cache/joltqc_tpu/) overrides
+    per class."""
     global _TABLE, _TABLE_DEV
     dev = _device_name()
     if _TABLE is not None and _TABLE_DEV == dev:
         return _TABLE
-    path = _table_path(dev)
-    try:
-        with open(path) as f:
-            _TABLE = json.load(f)
-    except (OSError, ValueError):
-        _TABLE = {}
+    table = {}
+    repo_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data", f"autotune_{dev}.json",
+    )
+    for path in (repo_path, _table_path(dev)):
+        try:
+            with open(path) as f:
+                table.update(json.load(f))
+        except (OSError, ValueError):
+            pass
+    _TABLE = table
     _TABLE_DEV = dev
     return _TABLE
 
@@ -109,6 +121,10 @@ def _time_class(engine, entry, B: int | None, repeats: int = 3,
     nao = engine.nao
     tables = engine._tables(tier)
     tbls = tuple(tables[k] for k in entry["cls_idx"])
+    eoffs = None
+    if accum == "tile":
+        offs, E = engine._espace()
+        eoffs = tuple(offs[k] for k in entry["cls_idx"])
     n = int(entry["ntasks"])
     if B is None:
         arrs = tuple(np.asarray(t) for t in entry["tasks"])
@@ -140,18 +156,22 @@ def _time_class(engine, entry, B: int | None, repeats: int = 3,
         ls, nprims, tier, nao, True, True, 0.0, accum=accum,
         nrows=entry.get("nrows", 0) if B is None else 0,
         tile=engine.tile, chunk_b=B_eff,
+        eoffs=eoffs, tile_w=engine.tile_w,
+    )
+    acc_shape = (
+        (engine._espace()[1],) * 2 if accum == "tile" else (nao * nao,)
     )
 
     def run():
         last = None
         for _ in range(outer):
-            vj = df.const(0.0, (nao * nao,))
-            vk = df.const(0.0, (nao * nao,))
+            vj = df.const(0.0, acc_shape)
+            vk = df.const(0.0, acc_shape)
             vj, vk = fn(tbls, tasks, dm, vj, vk, bound)
             last = vj
         # force a device->host transfer: block_until_ready does not
         # actually block on the axon platform (CLAUDE.md measurement trap)
-        np.asarray(last.hi[:1])
+        np.asarray(last.hi.reshape(-1)[:1])
 
     run()  # compile
     ts = []
@@ -164,7 +184,8 @@ def _time_class(engine, entry, B: int | None, repeats: int = 3,
 
 def tune_workload(engine, sizes=(256, 512, 1024, 2048, 4096, 8192),
                   min_tasks: int = 256, verbose: bool = True,
-                  block_engine=None, accum_only: bool = False,
+                  block_engine=None, tile_engine=None,
+                  accum_only: bool = False,
                   max_chunks: int | None = 4,
                   budget_s: float | None = None) -> dict:
     """Time every class in the engine's current plan across chunk sizes.
@@ -192,6 +213,11 @@ def tune_workload(engine, sizes=(256, 512, 1024, 2048, 4096, 8192),
         for e in block_engine._plan:
             if e.get("accum") == "block":
                 block_by_key[_key(e["ls"], e["nprims"], e["tier"])] = e
+    tile_by_key = {}
+    if tile_engine is not None and tile_engine._plan is not None:
+        for e in tile_engine._plan:
+            if e.get("accum") == "tile":
+                tile_by_key[_key(e["ls"], e["nprims"], e["tier"])] = e
     table = dict(load_table())
     t_start = time.perf_counter()
     entries = sorted(
@@ -240,6 +266,19 @@ def tune_workload(engine, sizes=(256, 512, 1024, 2048, 4096, 8192),
                 rec = {
                     "chunk": int(np.asarray(blk["tasks"][0]).shape[1]),
                     "accum": "block",
+                }
+                best_t = t_blk
+        til = tile_by_key.get(key)
+        if til is not None:
+            t_til = _time_class(tile_engine, til, None,
+                                max_chunks=max_chunks)
+            if verbose:
+                print(f"{key:36s} tile   {t_til*1e9:8.1f} ns/task "
+                      f"(prev best {best_t*1e9:.1f})", flush=True)
+            if t_til < best_t:
+                rec = {
+                    "chunk": int(np.asarray(til["tasks"][0]).shape[1]),
+                    "accum": "tile",
                 }
         table[key] = rec
     path = _table_path()

@@ -225,6 +225,30 @@ def test_jk_tile_vs_oracle_sto3g():
     assert np.abs(vk - vk_ref).max() < 1e-6, np.abs(vk - vk_ref).max()
 
 
+def test_multi_dm_tile_accumulation():
+    """Batched n_dm on the TILE path: one ERI pass per class, n_dm fused
+    contract+tile-accumulate passes (VERDICT r3 item 9 -- the fast
+    accumulator must not force the scatter fallback for dm stacks)."""
+    mol = Molecule.from_atom_string(H2O, basis="6-31g")
+    rng = np.random.default_rng(11)
+    nao = mol.nao
+    dms = np.stack([
+        (lambda a: a + a.T)(rng.uniform(-1, 1, (nao, nao)))
+        for _ in range(2)
+    ])
+    lay = BasisLayout(mol)
+    eng_t = JKEngine(lay, cutoff_fp32=1e-14, cutoff_fp64=1e-7,
+                     accum="tile", tile_w=8)
+    vj_b, vk_b = eng_t.get_jk(dms)
+    assert any(e.get("accum") == "tile" for e in eng_t._plan)
+    eng_s = JKEngine(lay, cutoff_fp32=1e-14, cutoff_fp64=1e-7)
+    for d in range(2):
+        vj_1, vk_1 = eng_s.get_jk(dms[d])
+        scale = max(np.abs(vj_1).max(), 1.0)
+        assert np.abs(vj_b[d] - vj_1).max() < 1e-9 * scale
+        assert np.abs(vk_b[d] - vk_1).max() < 1e-9 * scale
+
+
 def test_multi_dm_batched_vs_looped():
     """Batched n_dm path (one ERI pass, n_dm contractions) vs per-dm calls.
 
