@@ -1,12 +1,10 @@
-"""Multi-chip parallelism: task-sharded Fock builds over a jax device mesh.
+"""Multi-chip parallelism: mesh construction + the sharded JK entry.
 
-The reference is single-GPU only ("Multi-GPU is not supported yet",
-/root/reference/README.md:104); this package is the TPU-native scaling
-story it lacks: shell-quartet task batches are data-parallel, the density
-matrix is replicated, and partial Fock contributions are reduced with an
-exact integer-limb ``psum`` over ICI (see ops/accum.py).
+The compute path itself lives in the production engine
+(scf/jk_contracted.py, ``JKEngine(mesh=...)``); this package provides
+the mesh helpers and documents the decomposition (see jk_sharded.py).
 """
 
-from .jk_sharded import build_sharded_jk_step, fock_step_spec
+from .jk_sharded import sharded_jk_engine, task_mesh
 
-__all__ = ["build_sharded_jk_step", "fock_step_spec"]
+__all__ = ["sharded_jk_engine", "task_mesh"]

@@ -3,79 +3,51 @@
 Parallel decomposition (TPU-native; no counterpart in the reference,
 which is single-GPU -- /root/reference/README.md:104):
 
- - axis ``tasks``: shell-quartet task batches are split along the batch
-   dimension (pure data parallelism -- ERI tasks are independent).
+ - axis ``tasks``: shell-quartet task batches are split along the
+   within-chunk batch dimension of every class scan (pure data
+   parallelism -- ERI tasks are independent).
  - the density matrix is replicated (it is O(nao^2), tiny next to the
    O(ntasks) ERI work).
- - each device scatter-accumulates its partial Fock into int32
-   fixed-point limbs (ops/accum.py), which are reduced with
-   ``jax.lax.psum`` -- integer adds are exactly associative, so the
-   multi-chip result is bit-identical to single-chip.
+ - each device accumulates its partial Fock into int32 fixed-point
+   limbs (ops/accum.py), which are reduced with ``jax.lax.psum`` --
+   integer adds are exactly associative, so the multi-chip result is
+   bit-identical to single-chip
+   (tests/test_parallel.py::test_sharded_production_engine_bit_exact).
 
-The collective rides ICI via XLA; everything here is shape-static and
-jit-compatible.
+The implementation lives in the PRODUCTION engine: construct
+``scf.jk_contracted.JKEngine`` with ``mesh=``, and every class scan is
+shard_map'd over the mesh with the psum placed inside the limb domain
+(scf/jk_contracted.py::_class_scan_sharded_fn).  This module is the
+public entry point for that path.
 """
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
-
-try:  # jax >= 0.6 exposes shard_map at top level
-    from jax import shard_map as _shard_map
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map as _shard_map
-
-from ..ops import df64 as df
-from ..ops.accum import limbs_to_df64, scatter_limbs
+import numpy as np
+from jax.sharding import Mesh
 
 
-def fock_step_spec(tier: str):
-    """(in_specs, out_specs) for one sharded Fock-contribution step."""
-    geom_spec = P("tasks")  # every geom leaf has the task batch as axis 0
-    dm_spec = P()  # replicated
-    return (geom_spec, dm_spec), P()
+def task_mesh(devices=None, axis: str = "tasks") -> Mesh:
+    """A 1-D device mesh over the task axis (all devices by default)."""
+    import jax
+
+    devs = np.array(devices if devices is not None else jax.devices())
+    return Mesh(devs, (axis,))
 
 
-def build_sharded_jk_step(mesh: Mesh, ls, tier: str, nao: int,
-                          with_j: bool = True, with_k: bool = True):
-    """Return a jitted ``step(geom, dm) -> (vj, vk)`` sharded over ``mesh``.
+def sharded_jk_engine(layout, mesh: Mesh | None = None, **kw):
+    """Production mixed-precision JK engine sharded over ``mesh``.
 
-    ``geom`` is the per-task geometry dict of the JK engine (see
-    scf/jk.py:_jk_contrib_fn); its leading axis is sharded over the
-    ``tasks`` mesh axis.  ``dm`` is replicated.  Outputs are replicated
-    DF64 (nao*nao,) flattened Fock contributions (the same layout the
-    single-chip engine accumulates into).
+    Returns ``scf.jk_contracted.JKEngine(layout, mesh=mesh, **kw)`` --
+    the same engine, plans, and accumulation as single-chip; each class
+    scan's within-chunk batch is split over the mesh and reduced with an
+    exact integer-limb psum, so ``get_jk`` is bit-identical to the
+    single-device result on any mesh partitioning.
     """
-    from ..scf.jk import _cat, _jk_contrib_fn
+    from ..scf.jk_contracted import JKEngine
 
-    contrib = _jk_contrib_fn(ls, tier, nao, with_j, with_k)
-
-    def local_step(geom, dm):
-        jvals, jidx, kvals, kidx = contrib(geom, dm)
-
-        def reduce_scatter(vals, idx):
-            joined = _cat(list(vals)) if len(vals) > 1 else vals[0]
-            jix = jnp.concatenate(list(idx)) if len(idx) > 1 else idx[0]
-            if not isinstance(joined, df.DF64):
-                joined = df.from_f32(joined)
-            # one scale across all shards so the int32 limbs are commensurable
-            gmax = jax.lax.pmax(jnp.max(jnp.abs(joined.hi)), "tasks")
-            limbs, sexp = scatter_limbs(joined, jix, nao * nao, x_abs_max=gmax)
-            limbs = jax.lax.psum(limbs, "tasks")  # exact integer reduction
-            return limbs_to_df64(limbs, sexp)
-
-        vj = reduce_scatter(jvals, jidx) if with_j else None
-        vk = reduce_scatter(kvals, kidx) if with_k else None
-        return vj, vk
-
-    (in_geom, in_dm), out = fock_step_spec(tier)
-    sharded = _shard_map(
-        local_step, mesh=mesh, in_specs=(in_geom, in_dm), out_specs=out,
-        check_vma=False,
-    )
-    return jax.jit(sharded)
+    return JKEngine(layout, mesh=mesh if mesh is not None else task_mesh(),
+                    **kw)
 
 
-__all__ = ["build_sharded_jk_step", "fock_step_spec"]
+__all__ = ["sharded_jk_engine", "task_mesh"]

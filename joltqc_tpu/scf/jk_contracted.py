@@ -1,8 +1,8 @@
 """Contracted-task J/K engine: device-resident tables + per-class scans.
 
-This is the production Fock builder (the primitive-pair engine in
-scf/jk.py remains as the reference/debug path and powers the sharded
-demo).  Design vs the reference driver (/root/reference/jqc/pyscf/jk.py):
+This is the production Fock builder; the sharded path (mesh=) is the
+one exposed by joltqc_tpu/parallel as well.
+Design vs the reference driver (/root/reference/jqc/pyscf/jk.py):
 
  - one compiled kernel per (angular quartet, nprim-bucket quartet, tier):
    a jitted lax.scan whose chunk body gathers shell geometry from small

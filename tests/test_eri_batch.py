@@ -74,8 +74,8 @@ def test_eri_class_vs_oracle(tier, ls, nprims):
     batch = _pack(centers, tier)
 
     # no explicit jit on CPU: the XLA:CPU executor in this jax build can
-    # spin forever on large fused DF64 modules (see scf/jk.py _maybe_jit);
-    # eager execution is reliable and fast enough at T=4
+    # spin forever on large fused DF64 modules; eager execution is
+    # reliable and fast enough at T=4
     out = contracted_eri_batch(tier, ls, nprims, batch)
     got = df.to_f64(out) if tier == "df64" else np.asarray(out, np.float64)
 

@@ -9,70 +9,34 @@ single-device scatter.
 
 import numpy as np
 import jax
-import jax.numpy as jnp
-import pytest
 from jax.sharding import Mesh
 
 from joltqc_tpu.mol import Molecule
 from joltqc_tpu.mol.layout import BasisLayout
-from joltqc_tpu.ops import df64 as df
-from joltqc_tpu.ops.accum import scatter_add_det
-from joltqc_tpu.parallel import build_sharded_jk_step
-from joltqc_tpu.scf.jk import JKEngine, _cat, _jk_contrib_fn, build_geom_batch
+from joltqc_tpu.parallel import sharded_jk_engine, task_mesh
 
 
-@pytest.fixture(scope="module")
-def problem():
+def test_parallel_api_bit_exact():
+    """The public parallel entry (sharded_jk_engine over task_mesh) is
+    bit-identical to the single-chip production engine."""
+    n_dev = len(jax.devices())
+    assert n_dev >= 2, "conftest should provide 8 virtual devices"
     mol = Molecule.from_atom_string(
         "O 0 0 0.1174; H -0.757 0 -0.4696; H 0.757 0 -0.4696", basis="6-31g"
     )
     layout = BasisLayout(mol)
     rng = np.random.default_rng(1)
-    dm = rng.standard_normal((layout.nao_int, layout.nao_int))
-    return layout, dm + dm.T
+    nao = mol.nao
+    dm = rng.standard_normal((nao, nao))
+    dm = dm + dm.T
 
+    from joltqc_tpu.scf.jk_contracted import JKEngine as CJKEngine
 
-@pytest.mark.parametrize("ls,tier", [((1, 0, 1, 0), "df64"), ((1, 1, 0, 0), "f32")])
-def test_sharded_matches_single_chip(problem, ls, tier):
-    layout, dm64 = problem
-    nao = layout.nao_int
-    n_dev = len(jax.devices())
-    assert n_dev >= 2, "conftest should provide 8 virtual devices"
-    mesh = Mesh(np.array(jax.devices()), ("tasks",))
-
-    eng = JKEngine(layout)
-    P1 = layout.pair_block(ls[0], ls[1])
-    P2 = layout.pair_block(ls[2], ls[3])
-    t1, t2, w, _ = eng._tasks_for(P1, P2, -30.0, 0.0)
-    batch = 32 * n_dev
-    t1, t2, w = t1[:batch], t2[:batch], w[:batch]
-    geom = build_geom_batch(P1, P2, t1, t2, w, tier, batch)
-    dm = df.from_f64(dm64) if tier == "df64" else jnp.asarray(dm64, jnp.float32)
-
-    # sharded
-    step = build_sharded_jk_step(mesh, ls, tier, nao)
-    vj_s, vk_s = step(geom, dm)
-
-    # single-chip oracle: same contributions, one-device scatter
-    contrib = _jk_contrib_fn(ls, tier, nao, True, True)
-    jvals, jidx, kvals, kidx = contrib(geom, dm)
-    vj_1 = scatter_add_det(_cat(list(jvals)), jnp.concatenate(list(jidx)), nao * nao)
-    vk_1 = scatter_add_det(_cat(list(kvals)), jnp.concatenate(list(kidx)), nao * nao)
-
-    # The integer-limb reduction itself is exactly associative, so the
-    # sharded result equals the single-chip one whenever the per-task
-    # contribution VALUES are identical.  They are on TPU (IEEE f32, same
-    # per-element graph) and for the df64 tier on CPU (f64 emulation).
-    # The f32 tier on XLA:CPU computes with context-dependent excess
-    # precision, so inside- vs outside-shard_map values differ by ~1 ulp;
-    # allow that (it is a CPU-simulation artifact, not a reduction error).
-    if tier == "df64":
-        np.testing.assert_array_equal(df.to_f64(vj_s), df.to_f64(vj_1))
-        np.testing.assert_array_equal(df.to_f64(vk_s), df.to_f64(vk_1))
-    else:
-        np.testing.assert_allclose(df.to_f64(vj_s), df.to_f64(vj_1), atol=2e-8)
-        np.testing.assert_allclose(df.to_f64(vk_s), df.to_f64(vk_1), atol=2e-8)
-    assert np.abs(df.to_f64(vj_s)).max() > 0
+    vj_s, vk_s = sharded_jk_engine(layout, task_mesh()).get_jk(dm)
+    vj_1, vk_1 = CJKEngine(layout).get_jk(dm)
+    assert np.abs(vj_s).max() > 0
+    np.testing.assert_array_equal(vj_s, vj_1)
+    np.testing.assert_array_equal(vk_s, vk_1)
 
 
 def test_sharded_production_engine_bit_exact():
