@@ -101,10 +101,19 @@ def plan_key(engine, logdm: float, dm_cond_log, omega: float) -> str | None:
         h.update(np.ascontiguousarray(dm_cond_log, np.float32).tobytes())
     else:
         h.update(b"nocond")
-    # chunk sizes come from the per-device autotune table when present
-    from .autotune import load_table
-
-    h.update(json.dumps(load_table(), sort_keys=True).encode())
+    # chunk sizes come from the per-device autotune table when present.
+    # Hash only the ROUTING-relevant subset ({chunk, accum} per class):
+    # tables also carry measurement metadata (mtasks_per_s etc.), and a
+    # metadata-only change must not invalidate a GB-scale plan.
+    routing = {
+        k: (
+            {"chunk": v.get("chunk"), "accum": v.get("accum")}
+            if isinstance(v, dict)
+            else v
+        )
+        for k, v in load_table().items()
+    }
+    h.update(json.dumps(routing, sort_keys=True).encode())
     return h.hexdigest()[:32]
 
 
