@@ -99,4 +99,50 @@ def parse_nwchem_ecp(text: str) -> dict[str, ECPData]:
     return out
 
 
-__all__ = ["ECPChannel", "ECPData", "parse_nwchem_ecp"]
+_ECP_DIR = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "ecp_data"
+)
+
+
+def available_ecps() -> list[str]:
+    import os
+
+    if not os.path.isdir(_ECP_DIR):
+        return []
+    return sorted(
+        f[:-4] for f in os.listdir(_ECP_DIR) if f.endswith(".dat")
+    )
+
+
+def load_ecp(spec: str) -> dict[str, ECPData]:
+    """Resolve an ECP spec: raw NWChem text | file path | shipped name.
+
+    The reference resolves names like ``ecp="def2-tzvpp"`` through
+    PySCF's bundled ECP library; this standalone build embeds data files
+    under ``mol/ecp_data/`` instead.  Literature ECP parameter tables
+    (def2-ECP etc.) could not be sourced in this zero-network build
+    environment with auditable digits, so the shipped files are
+    documented MODEL potentials (see ecp_data/README) -- pass a path to
+    an NWChem-format file for production data.
+    """
+    import os
+
+    if "\n" in spec:
+        return parse_nwchem_ecp(spec)
+    if os.path.exists(spec):
+        with open(spec) as f:
+            return parse_nwchem_ecp(f.read())
+    path = os.path.join(_ECP_DIR, spec.lower() + ".dat")
+    if os.path.exists(path):
+        with open(path) as f:
+            return parse_nwchem_ecp(f.read())
+    raise FileNotFoundError(
+        f"ECP {spec!r} not found; shipped sets: {available_ecps()}; or "
+        f"pass NWChem-format ECP text / a path to an NWChem file"
+    )
+
+
+__all__ = [
+    "ECPChannel", "ECPData", "parse_nwchem_ecp", "load_ecp",
+    "available_ecps",
+]

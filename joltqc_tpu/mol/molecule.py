@@ -74,9 +74,9 @@ class Molecule:
         if unit.lower().startswith("a"):
             coords = coords / BOHR
         if isinstance(ecp, str):
-            from .ecp import parse_nwchem_ecp
+            from .ecp import load_ecp
 
-            ecp = parse_nwchem_ecp(ecp)
+            ecp = load_ecp(ecp)
         m = cls(
             atom_symbols=symbols,
             coords=coords,
@@ -103,9 +103,12 @@ class Molecule:
         for ia, (sym, xyz) in enumerate(zip(self.atom_symbols, self.coords)):
             key = sym.capitalize()
             if key not in basis_tab:
-                raise KeyError(
-                    f"element {key} not in basis {self.basis!r}"
-                )
+                # elements beyond the embedded data get a generated
+                # (warned, reproducible) even-tempered fallback; see
+                # mol/basis_gen.py for the provenance rationale
+                from .basis_gen import fallback_shells
+
+                basis_tab[key] = fallback_shells(key, self.basis)
             for raw in basis_tab[key]:
                 coeffs = normalize_contraction(raw.l, raw.exps, raw.coeffs)
                 self.shells.append(
