@@ -70,10 +70,13 @@ def main():
         except Exception as ex:  # noqa: BLE001
             print(f"# {key}: FAILED {ex!r}", file=sys.stderr, flush=True)
             continue
+        shape = np.asarray(e["tasks"][0]).shape
         rec = {
             "accum": e.get("accum", "scatter"),
             "ntasks": int(e["ntasks"]),
-            "chunk": int(np.asarray(e["tasks"][0]).shape[1]),
+            "chunk": int(shape[1]),
+            # supertile-grouping pad overhead: padded slots / real tasks
+            "pad_ratio": round(shape[0] * shape[1] / max(e["ntasks"], 1), 2),
             "mtasks_per_s": round(1e-6 / spt, 3),
         }
         table[key] = rec

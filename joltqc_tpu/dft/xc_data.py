@@ -34,6 +34,18 @@ Provenance / verification status:
              shipped; the mGGA B97 series machinery (dft/xc.py) remains
              and takes a verified parameter set whenever one can be
              sourced.
+             Round 4: benchmarks/wb97mv_screen.py turns candidate
+             verification into a seconds-cost check (Exc is linear in
+             the series coefficients -> precomputed moment integrals at
+             a frozen density; calibrated to ~1-2 mHa against a full
+             SCF).  Every curated from-memory candidate missed by
+             15-130 mHa, and a blind (i,j)-assignment search showed one
+             anchor equation admits thousands of accidental matches --
+             so the data CANNOT be reconstructed from memory + one
+             anchor; no auditable source (libxc/pyscf/wheel) exists in
+             this environment (verified by search).  The gate stands;
+             the screen verifies any future externally-sourced set
+             before it ships.
 """
 
 B97_GAMMA = (0.004, 0.2, 0.006)
