@@ -58,8 +58,20 @@ def main():
     cache_dir = os.path.expanduser(
         os.environ.get("JQC_CACHE_DIR", "~/.cache/joltqc_tpu")
     )
+    # content-hash the geometry + basis so a changed xyz/basis with the
+    # same nao cannot silently load stale s/h (ADVICE r4)
+    import hashlib
+
+    import numpy as np
+
+    ghash = hashlib.sha256(
+        np.ascontiguousarray(mol.coords).tobytes()
+        + ",".join(mol.atom_symbols).encode()
+        + str(args.basis).encode()
+    ).hexdigest()[:12]
     h_path = os.path.join(
-        cache_dir, f"bench_sh_{label.replace('/', '_')}_{mol.nao}.npz"
+        cache_dir,
+        f"bench_sh_{label.replace('/', '_')}_{mol.nao}_{ghash}.npz",
     )
     sh = None
     if os.path.exists(h_path):

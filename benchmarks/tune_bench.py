@@ -62,8 +62,17 @@ def main():
         * int(np.prod([(l + 1) * (l + 2) // 2 for l in e["ls"]])),
     )[:top_k]
 
+    from joltqc_tpu.scf.jk_contracted import _chunk_size
+
+    budget_s = float(os.environ.get("JQC_TUNE_BUDGET_S", "0")) or None
+    t_start = __import__("time").perf_counter()
+    os.makedirs(os.path.dirname(_table_path()), exist_ok=True)
     table = dict(load_table())
     for e in entries:
+        if budget_s and __import__("time").perf_counter() - t_start > budget_s:
+            print("# tune budget spent -- writing partial table",
+                  file=sys.stderr, flush=True)
+            break
         key = _key(e["ls"], e["nprims"], e["tier"])
         B = int(np.asarray(e["tasks"][0]).shape[1])
         accum_plan = e.get("accum", "scatter")
@@ -71,24 +80,34 @@ def main():
         rec = {"chunk": B, "accum": accum_plan,
                "mtasks_per_s": round(1e-6 / t_plan, 3)}
         if accum_plan != "scatter":
+            # time scatter at its OWN ladder/heuristic chunk, not the
+            # tile plan's supertile-sized B (ADVICE r4: chunk mismatch
+            # biased the comparison); _time_class normalizes both by
+            # real (non-pad) tasks.
+            B_sc = _chunk_size(e["ls"], e["ntasks"], nprims=e["nprims"],
+                               tier=e["tier"])
             try:
-                t_sc = _time_class(mf.jk, e, B, max_chunks=max_chunks)
+                t_sc = _time_class(mf.jk, e, B_sc, max_chunks=max_chunks)
             except Exception as ex:  # noqa: BLE001
                 print(f"# {key}: scatter timing failed {ex!r}",
                       file=sys.stderr, flush=True)
                 t_sc = np.inf
             print(
                 f"{key:40s} {accum_plan}={1e-6 / t_plan:8.2f} "
-                f"scatter={1e-6 / t_sc:8.2f} Mt/s",
+                f"scatter(B={B_sc})={1e-6 / t_sc:8.2f} Mt/s",
                 file=sys.stderr, flush=True,
             )
             if t_sc < t_plan:
-                rec = {"chunk": B, "accum": "scatter",
+                rec = {"chunk": B_sc, "accum": "scatter",
                        "mtasks_per_s": round(1e-6 / t_sc, 3)}
         else:
             print(f"{key:40s} scatter={1e-6 / t_plan:8.2f} Mt/s",
                   file=sys.stderr, flush=True)
         table[key] = rec
+        # persist incrementally: a tunnel stall mid-tune still leaves a
+        # usable partial table
+        with open(_table_path(), "w") as f:
+            json.dump(table, f, indent=1, sort_keys=True)
 
     path = _table_path()
     os.makedirs(os.path.dirname(path), exist_ok=True)

@@ -99,17 +99,22 @@ class Molecule:
 
     def build(self) -> "Molecule":
         basis_tab = load_basis(self.basis)
+        generated = {}  # per-BUILD fallback cache (one warning per build)
         self.shells = []
         for ia, (sym, xyz) in enumerate(zip(self.atom_symbols, self.coords)):
             key = sym.capitalize()
-            if key not in basis_tab:
+            shells = basis_tab.get(key) or generated.get(key)
+            if shells is None:
                 # elements beyond the embedded data get a generated
                 # (warned, reproducible) even-tempered fallback; see
-                # mol/basis_gen.py for the provenance rationale
+                # mol/basis_gen.py for the provenance rationale.  Kept
+                # OUT of the shared load_basis cache table so the
+                # substitution warning fires for every molecule that
+                # uses it, not only the first per process (ADVICE r4).
                 from .basis_gen import fallback_shells
 
-                basis_tab[key] = fallback_shells(key, self.basis)
-            for raw in basis_tab[key]:
+                shells = generated[key] = fallback_shells(key, self.basis)
+            for raw in shells:
                 coeffs = normalize_contraction(raw.l, raw.exps, raw.coeffs)
                 self.shells.append(
                     Shell(raw.l, raw.exps.copy(), coeffs, np.asarray(xyz), ia)

@@ -321,11 +321,20 @@ class RKS(RHF):
         self._dft_cache = None
         self.dft_block_evals = 0
 
+    def _regrid(self, g):
+        """Rebuild a Grids object for the (possibly new) molecule with
+        the SAME quadrature spec the user configured (ADVICE r4: a bare
+        Grids(self.mol) silently dropped custom n_rad/n_ang/prune)."""
+        return Grids(
+            self.mol, n_rad=g.n_rad, n_theta=g.n_theta, n_phi=g.n_phi,
+            block=g.block, prune=g.prune, n_ang=g.n_ang, angular=g.angular,
+        )
+
     def reset(self, mol=None):
         super().reset(mol)
-        self.grids = Grids(self.mol)
+        self.grids = self._regrid(self.grids)
         if self.nlcgrids is not None:
-            self.nlcgrids = Grids(self.mol, n_ang=self.nlcgrids.n_ang)
+            self.nlcgrids = self._regrid(self.nlcgrids)
         self.ni = NumInt(self.layout)
         self._scr = None
         self._dft_cache = None

@@ -131,11 +131,23 @@ def _time_class(engine, entry, B: int | None, repeats: int = 3,
         B_eff = int(arrs[0].shape[1])
         if max_chunks is not None and arrs[0].shape[0] > max_chunks:
             arrs = tuple(a[:max_chunks] for a in arrs)
-            n = max_chunks * B_eff  # nominal (incl. pad slots)
+        # normalize by REAL tasks in the timed window (pad slots carry
+        # weight 0) -- tile-grouped plans pad per supertile group, so a
+        # nominal slot count would bias the tile-vs-scatter comparison
+        # (ADVICE r4)
+        n = int(np.count_nonzero(np.asarray(arrs[4], np.float32)))
         tasks = tuple(jnp.asarray(a) for a in arrs)
     else:
-        # rebuild this class's task list at chunk B (same tasks, new shape)
+        # rebuild this class's task list at chunk B (same tasks, new
+        # shape).  Pads replicate the last REAL task (not a zero-coef
+        # pad shell) so per-task time stays conservative; count real
+        # slots for normalization like the B=None branch.
         flat = [np.asarray(t).reshape(-1) for t in entry["tasks"][:5]]
+        # keep real tasks only (pad slots -- pow2 tail or interleaved
+        # tile-group padding -- carry weight 0)
+        keep = flat[4] != 0.0
+        flat = [f[keep] for f in flat]
+        n = len(flat[0])
         npad = (-n) % B
         chunked = [
             np.concatenate([f, np.full(npad, f[-1], f.dtype)]).reshape(-1, B)
@@ -143,7 +155,7 @@ def _time_class(engine, entry, B: int | None, repeats: int = 3,
         ]
         if max_chunks is not None and chunked[0].shape[0] > max_chunks:
             chunked = [c[:max_chunks] for c in chunked]
-            n = max_chunks * B
+            n = min(n, max_chunks * B)
         tasks = tuple(jnp.asarray(c) for c in chunked)
         B_eff = B
     dm = (

@@ -24,6 +24,7 @@ def _atom(sym):
     return mol
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sym,tol", [("Ne", 0.06), ("Mg", 0.06)])
 def test_atomic_rhf_near_hf_limit(sym, tol):
     mol = _atom(sym)
@@ -46,10 +47,22 @@ def test_atomic_rhf_ar():
     assert e - lim < 0.10
 
 
+def test_generated_molecule_builds():
+    """Cheap machinery check (no SCF): the S fallback basis builds, has
+    the right electron count, and composes with the layout."""
+    mol = Molecule.from_atom_string(
+        "S 0 0 0; H -0.96 0 0.52; H 0.96 0 0.52", basis="sto-3g"
+    )
+    assert mol.nelectron == 18
+    assert len(mol.shells) > 3
+
+
+@pytest.mark.slow
 def test_generated_molecule_runs():
     """A suite molecule with S (absent from the embedded 6-31g data)
     builds and produces a sane Fock: machinery-level check that the
-    fallback composes with the JK engine."""
+    fallback composes with the JK engine.  (slow: multi-minute
+    single-core SCF with the large uncontracted generated basis)"""
     mol = Molecule.from_atom_string(
         "S 0 0 0; H -0.96 0 0.52; H 0.96 0 0.52", basis="sto-3g"
     )
