@@ -138,6 +138,65 @@ def test_apply_patches_full_rks_surface():
     assert mf._joltqc_wrapped
 
 
+def test_get_veff_rhf_incremental_semantics():
+    """PySCF calls mf.get_veff(mol, dm, dm_last, vhf_last) positionally
+    in the direct-SCF loop (scf/hf.py); with direct_scf the adapter must
+    evaluate J/K on the DELTA density and add vhf_last (reference:
+    jqc/pyscf/jk.py:78-90)."""
+    import numpy as np
+
+    from joltqc_tpu.pyscf import _apply_patches
+
+    mf = _stub_mf()
+    mf.direct_scf = True
+    _apply_patches(mf)
+    n = mf.mol.nao
+    rng = np.random.default_rng(1)
+    dm0 = rng.standard_normal((n, n)) * 0.1
+    dm0 = dm0 + dm0.T
+    dm1 = dm0 + 0.02 * np.eye(n)
+
+    vhf0 = mf.get_veff(mf.mol, dm0)
+    vj1, vk1 = mf.get_jk(mf.mol, dm1, 1)
+    direct = vj1 - 0.5 * vk1
+    incr = mf.get_veff(mf.mol, dm1, dm0, vhf0, 1)
+    np.testing.assert_allclose(incr, direct, atol=1e-10)
+    # PySCF's defaults are dm_last=0, vhf_last=0 -- must be accepted
+    base = mf.get_veff(mf.mol, dm1, 0, 0, 1)
+    np.testing.assert_allclose(base, direct, atol=1e-10)
+
+
+def test_get_veff_rks_tags_and_increment():
+    """RKS veff must return PySCF-style tags (ecoul/exc/vj/vk) and the
+    tagged-vhf_last incremental path must reproduce the direct build
+    (reference: jqc/pyscf/rks.py:180-263)."""
+    import numpy as np
+
+    from joltqc_tpu.pyscf import _apply_patches
+
+    mf = _stub_mf(xc="b3lyp")
+    mf.direct_scf = True
+    _apply_patches(mf)
+    n = mf.mol.nao
+    rng = np.random.default_rng(2)
+    dm0 = rng.standard_normal((n, n)) * 0.1
+    dm0 = dm0 + dm0.T
+    dm1 = dm0 + 0.02 * np.eye(n)
+
+    v0 = mf.get_veff(mf.mol, dm0)
+    for tag in ("ecoul", "exc", "vj", "vk"):
+        assert hasattr(v0, tag), tag
+    assert np.isfinite(v0.ecoul)
+    v1_incr = mf.get_veff(mf.mol, dm1, dm0, v0, 1)
+    v1_direct = mf.get_veff(mf.mol, dm1)
+    np.testing.assert_allclose(
+        np.asarray(v1_incr), np.asarray(v1_direct), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(v1_incr.vj), np.asarray(v1_direct.vj), atol=1e-8
+    )
+
+
 def test_apply_patches_ecp_intor_routing():
     import numpy as np
 
