@@ -1,0 +1,68 @@
+"""Anchor tests for the round-5 basis-data elements (F, S, Cl).
+
+The reference relies on PySCF's basis library; this repo embeds its
+basis data (mol/basis_data/) and gates each element on anchors.  No
+external QC package exists in this image, so the anchors are literature
+RHF values (Hehre/Radom/Schleyer/Pople tables) recalled at experimental
+geometries with +-5 mHa windows: digit-level transcription errors in
+exponents/coefficients shift total energies by 10-1000 mHa and are
+caught; sub-mHa subtleties are not claimable at this provenance level
+and the windows say so honestly.
+"""
+
+import numpy as np
+import pytest
+
+from joltqc_tpu.mol import Molecule
+from joltqc_tpu.scf import RHF
+
+
+def _shells_of(sym, basis):
+    mol = Molecule.from_atom_string(f"{sym} 0 0 0; H 0 0 10", basis=basis)
+    return [s for s in mol.shells if s.atom_idx == 0]
+
+
+@pytest.mark.parametrize(
+    "sym,nshell_631g,nao_631gs",
+    # first row [3s,2p] -> 5 stored shells (SP splits into s + p);
+    # second row [4s,3p] -> 7; 6-31G* adds one d (5 spherical AOs out)
+    [("F", 5, 9 + 5), ("S", 7, 13 + 5), ("Cl", 7, 13 + 5)],
+)
+def test_element_data_present(sym, nshell_631g, nao_631gs):
+    shells = _shells_of(sym, "6-31g")
+    assert len(shells) == nshell_631g, [s.l for s in shells]
+    mol = Molecule.from_atom_string(f"{sym} 0 0 0; {sym} 0 0 10",
+                                    basis="6-31g*")
+    assert mol.nao == 2 * nao_631gs
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "atoms,anchor,tol",
+    [
+        # HF molecule, r = 0.917 A (expt): RHF/6-31G* ~ -100.0029
+        ("F 0 0 0; H 0 0 0.917", -100.0029, 5e-3),
+        # H2S, r = 1.336 A, a = 92.1 deg: RHF/6-31G* ~ -398.667
+        ("S 0 0 0; H 0 0.9617 0.9268; H 0 -0.9617 0.9268", -398.667, 5e-3),
+        # HCl, r = 1.275 A (expt): RHF/6-31G* ~ -460.060
+        ("Cl 0 0 0; H 0 0 1.275", -460.060, 5e-3),
+    ],
+)
+def test_molecular_rhf_anchor(atoms, anchor, tol):
+    mol = Molecule.from_atom_string(atoms, basis="6-31g*")
+    mf = RHF(mol, conv_tol=1e-8, max_cycle=80)
+    e = mf.kernel()
+    assert mf.converged
+    assert abs(e - anchor) < tol, f"E={e:.6f} vs anchor {anchor}"
+
+
+def test_no_generated_fallback_for_fscl():
+    """F/S/Cl must come from the embedded data file, not the generated
+    even-tempered fallback (which warns)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        Molecule.from_atom_string(
+            "S 0 0 0; F 0 0 1.6; Cl 0 0 -1.6", basis="6-31g*"
+        )
