@@ -278,6 +278,80 @@ def _make_b97(data):
     return ((1.0, fx), (1.0, fc))
 
 
+# --------------------------------------------------------- M06 machinery
+_CF_VSXC = 0.6 * (6.0 * np.pi**2) ** (2.0 / 3.0)  # (3/5)(6 pi^2)^(2/3)
+
+
+def _vsxc_h(d, x2, z, alpha):
+    """VSXC-style h(x^2, z) rational (Van Voorhis & Scuseria 1998 eq 8)."""
+    g = 1.0 + alpha * (x2 + z)
+    return (
+        d[0] / g
+        + (d[1] * x2 + d[2] * z) / (g * g)
+        + (d[3] * x2 * x2 + d[4] * x2 * z + d[5] * z * z) / (g * g * g)
+    )
+
+
+def _poly(coeffs, u):
+    g = jnp.zeros_like(u)
+    for c in reversed(coeffs):
+        g = g * u + c
+    return g
+
+
+def _make_m06(data):
+    """Closed-shell M06-family component fns from an xc_data.M06 entry.
+
+    Exchange: PBE energy density times the 12-term f(w) series plus the
+    LSDA energy density times the VSXC h term.  Correlation: Stoll
+    partition of PW92 (as in _make_b97) with per-channel [g(u) + h] and
+    the same-spin self-interaction factor D_sigma.  The reference
+    evaluates M06 via libxc (jqc/pyscf/rks.py:341; tested at
+    test_dft.py:91-94); here the defining equations are implemented
+    directly with autodiff potentials."""
+    from .xc_data import M06_ALPHA, M06_GAMMA
+
+    ax, ass_, aos_ = M06_ALPHA
+    gam_ss, gam_os = M06_GAMMA
+    a = data["a"]
+
+    def fx(rho, sigma, tau):
+        rho_s = rho / 2.0
+        tau_s = tau / 2.0
+        x2 = (sigma / 4.0) / rho_s ** (8.0 / 3.0)
+        z = 2.0 * tau_s / rho_s ** (5.0 / 3.0) - _CF_VSXC
+        w = _b97_w(rho_s, tau_s)
+        fw = _poly(a, w)
+        e_pbe = _ex_pbe(rho, sigma, tau)  # closed-shell spin sum
+        e_lsda = _ex_slater(rho, sigma, tau)
+        return e_pbe * fw + e_lsda * _vsxc_h(data["dx"], x2, z, ax)
+
+    def fc(rho, sigma, tau):
+        rho_s = rho / 2.0
+        tau_s = jnp.maximum(tau / 2.0, 1e-20)
+        x2 = (sigma / 4.0) / rho_s ** (8.0 / 3.0)
+        z = 2.0 * tau_s / rho_s ** (5.0 / 3.0) - _CF_VSXC
+        # D_s = 1 - x2/(4 (z + C_F)); z + C_F = 2 tau_s/rho_s^(5/3) > 0
+        D = jnp.clip(1.0 - x2 / (4.0 * (z + _CF_VSXC)), 0.0, 1.0)
+        e_ss_lda = rho_s * _pw92_eps_pol(rho_s)  # one spin channel
+        u_ss = _b97_u(gam_ss, x2)
+        e_ss = (
+            2.0
+            * e_ss_lda
+            * (_poly(data["css"], u_ss) + _vsxc_h(data["dss"], x2, z, ass_))
+            * D
+        )
+        x2o, zo = 2.0 * x2, 2.0 * z
+        u_os = _b97_u(gam_os, x2o)
+        e_os_lda = rho * _pw92_eps(rho) - 2.0 * e_ss_lda
+        e_os = e_os_lda * (
+            _poly(data["cos"], u_os) + _vsxc_h(data["dos"], x2o, zo, aos_)
+        )
+        return e_ss + e_os
+
+    return ((1.0, fx), (1.0, fc))
+
+
 # --------------------------------------------------------------- registry
 def _info(family, comps, hyb=0.0, alpha=None, omega=0.0, nlc=None):
     return XCInfo(family, tuple(comps), hyb, hyb if alpha is None else alpha, omega, nlc)
@@ -333,6 +407,25 @@ def _install_b97():
 
 
 _install_b97()
+
+
+def _install_m06():
+    import os
+
+    from .xc_data import M06_FUNCTIONALS
+
+    allow = os.environ.get("JQC_ALLOW_UNVERIFIED_XC", "0") not in (
+        "0", "", "off",
+    )
+    for name, data in M06_FUNCTIONALS.items():
+        if data.get("unverified") and not allow:
+            continue  # anchor-gated (see xc_data.py provenance notes)
+        _ALIASES[name] = XCInfo(
+            "mgga", _make_m06(data), data["hyb"], data["hyb"], 0.0, None
+        )
+
+
+_install_m06()
 
 _FAM_ORDER = {"lda": 0, "gga": 1, "mgga": 2}
 
