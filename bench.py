@@ -114,11 +114,17 @@ def main():
         except OSError:
             pass
 
-    # warmup: plan build (or disk-cache load) + kernel compiles
+    # warmup: plan build (or disk-cache load) + kernel compiles.
+    # Phase-split logging (r5): the warm-start floor is ~1800 s through
+    # the tunnel; attributing it (plan load vs device upload + trace +
+    # compile-cache fetch) is what decides where to optimize.
+    t0 = time.time()
+    mf.jk.build_plan(dm)
+    log(f"plan ready (build or disk load): {time.time() - t0:.1f}s")
     t0 = time.time()
     vj, vk = mf.jk.get_jk(dm)
     warmup = time.time() - t0
-    log(f"warmup(+plan+compile) done: {warmup:.1f}s")
+    log(f"warmup(upload+trace+compile+run) done: {warmup:.1f}s")
 
     stats = getattr(mf.jk, "plan_stats", {})
     ntasks = stats.get("ntasks", 0)

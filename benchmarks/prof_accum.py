@@ -55,17 +55,29 @@ def main():
     )
     dm = np.load(os.path.join(cache_dir, f"bench_dm_w{n_waters}_{mol.nao}.npy"))
 
-    eng_s = JKEngine(mf.layout, merge_nprim=True, accum="scatter")
-    eng_s.build_plan(dm)
-    eng_b = JKEngine(mf.layout, merge_nprim=True, accum="block")
-    eng_b.build_plan(dm)
-    nao = eng_s.nao
-    print(f"plans ready: {len(eng_s._plan)} entries", flush=True)
+    # tile is the production accumulation (round-5 tuner: wins every
+    # class); the stage fns (eri/contract) run on the tile plan's task
+    # arrays directly ([:5] slices).  Set JQC_PROF_ALL_ACCUM=1 to also
+    # build scatter/block plans for cross-strategy stage timing.
+    all_accum = os.environ.get("JQC_PROF_ALL_ACCUM", "0") not in ("0", "")
+    eng_t = JKEngine(mf.layout, merge_nprim=True, accum="tile")
+    eng_t.build_plan(dm)
+    eng_s = eng_t
+    if all_accum:
+        eng_s = JKEngine(mf.layout, merge_nprim=True, accum="scatter")
+        eng_s.build_plan(dm)
+        eng_b = JKEngine(mf.layout, merge_nprim=True, accum="block")
+        eng_b.build_plan(dm)
+    nao = eng_t.nao
+    print(f"plans ready: {len(eng_t._plan)} entries", flush=True)
 
     def key(e):
         return (tuple(e["ls"]), tuple(e["nprims"]), e["tier"])
 
-    block_by_key = {key(e): e for e in eng_b._plan}
+    block_by_key = {key(e): e for e in eng_b._plan} if all_accum else {}
+    tile_by_key = {
+        key(e): e for e in eng_t._plan if e.get("accum") == "tile"
+    }
 
     def slice_tasks(entry):
         arrs = tuple(np.asarray(t) for t in entry["tasks"])
@@ -202,6 +214,28 @@ def main():
                            dm_dev, jnp.asarray(np.float32(blk["bound"])))
             rows.append((f"block[r{blk.get('nrows', 0)}]", c, t,
                          bntask))
+
+        til = tile_by_key.get(key(entry))
+        if til is not None:
+            ttasks, tk, tB = slice_tasks(til)
+            # real tasks in the slice (tile plans interleave group pads)
+            tntask = int(np.count_nonzero(np.asarray(ttasks[4])))
+            offs, E = eng_t._espace()
+            eoffs = tuple(offs[kk] for kk in til["cls_idx"])
+            tfn = _class_scan_fn(
+                ls, nprims, tier, nao, True, True, 0.0, accum="tile",
+                tile=eng_t.tile, chunk_b=tB, eoffs=eoffs,
+                tile_w=eng_t.tile_w,
+            )
+
+            def tile_full(tbls, tasks, dmx, bound):
+                ej = df.const(0.0, (E, E))
+                ek = df.const(0.0, (E, E))
+                return tfn(tbls, tasks, dmx, ej, ek, bound)
+
+            c, t = time_fn(tile_full, tbls, ttasks,
+                           dm_dev, jnp.asarray(np.float32(til["bound"])))
+            rows.append(("tile", c, t, tntask))
 
         print(f"\n{ls} np={nprims} {tier} B={B} k={k} ({ntask} tasks)",
               flush=True)
