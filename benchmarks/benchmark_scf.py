@@ -25,6 +25,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from common import report, water_cluster  # noqa: E402
 
 from joltqc_tpu.mol import Molecule  # noqa: E402

@@ -24,6 +24,7 @@ reference's log-window routing on log(ao_i ao_j dm).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import numpy as np
@@ -257,6 +258,28 @@ def _vxc_heavy_fn(nblk, P, K, family):
     return jax.jit(fn)
 
 
+# Heavy-pair launches are chunked along the PAIR axis: the per-block
+# intermediates are (G, P) DF64 arrays, and one launch over an unchunked
+# pack blows up at molecule scale (observed: a 131k-pair pack at 302 AO
+# compiled a 64 GB allocation and aborted).  8192 pairs x 1024 points
+# keeps every intermediate ~64 MB; rho chunks add, vxc chunks concat.
+_PAIR_CHUNK = int(os.environ.get("JQC_MIXED_PAIR_CHUNK", "8192"))
+
+
+def _pack_slices(pack, pc):
+    """Split a pow2-padded pair pack into pow2 sub-packs of <= pc rows."""
+    P = len(pack["ai"])
+    if P <= pc:
+        return [pack]
+    return [
+        {
+            k: (v[s : s + pc] if isinstance(v, np.ndarray) else v)
+            for k, v in pack.items()
+        }
+        for s in range(0, P, pc)
+    ]
+
+
 def _pack_dev(pack):
     return dict(
         coord_a=df.from_f64(pack["coord_a"]),
@@ -306,11 +329,18 @@ def eval_rho_mixed(ni: NumInt, grids, dm_int, family, layout,
     dmp[sel] = dm_int[pack["ai"][sel], pack["aj"][sel]]
     blocks, N = _blocked(grids.coords, ni.block)
     sub = blocks if block_sel is None else _select_blocks(blocks, block_sel)
-    fn = _rho_heavy_fn(len(sub), len(dmp), pack["exps_a"].shape[1], family)
-    dmp_df = df.from_f64(dmp)
-    dmp_df = df.DF64(dmp_df.hi[None, :], dmp_df.lo[None, :])
-    out = fn(df.from_f64(sub), _pack_dev(pack), dmp_df)
-    heavy = np.asarray(df.to_f64(out), np.float64)  # (nsub, rows, G)
+    sub_df = df.from_f64(sub)
+    heavy = None
+    for s, sp in enumerate(_pack_slices(pack, _PAIR_CHUNK)):
+        dmp_s = dmp[s * _PAIR_CHUNK : s * _PAIR_CHUNK + len(sp["ai"])]
+        fn = _rho_heavy_fn(
+            len(sub), len(dmp_s), sp["exps_a"].shape[1], family
+        )
+        dmp_df = df.from_f64(dmp_s)
+        dmp_df = df.DF64(dmp_df.hi[None, :], dmp_df.lo[None, :])
+        out = fn(sub_df, _pack_dev(sp), dmp_df)
+        part = np.asarray(df.to_f64(out), np.float64)  # (nsub, rows, G)
+        heavy = part if heavy is None else heavy + part
     rows = heavy.shape[1]
     B = ni.block
     full = np.zeros((rows, len(blocks) * B))
@@ -359,13 +389,17 @@ def eval_vxc_mixed(ni: NumInt, grids, wv, family, layout,
                 [wv_sub, np.zeros((npad,) + wv_sub.shape[1:])]
             )
         blocks, wv_blocks = sub, wv_sub
-    fn = _vxc_heavy_fn(
-        len(blocks), len(pack["ai"]), pack["exps_a"].shape[1], family
-    )
-    vals = np.asarray(
-        df.to_f64(fn(df.from_f64(blocks), df.from_f64(wv_blocks),
-                     _pack_dev(pack)))
-    )
+    blocks_df = df.from_f64(blocks)
+    wv_df = df.from_f64(wv_blocks)
+    parts = []
+    for sp in _pack_slices(pack, _PAIR_CHUNK):
+        fn = _vxc_heavy_fn(
+            len(blocks), len(sp["ai"]), sp["exps_a"].shape[1], family
+        )
+        parts.append(
+            np.asarray(df.to_f64(fn(blocks_df, wv_df, _pack_dev(sp))))
+        )
+    vals = np.concatenate(parts)
     sel = pack["ai"] >= 0
     mat[pack["ai"][sel], pack["aj"][sel]] = vals[sel]
     return mat

@@ -76,3 +76,26 @@ def test_rho_mixed_block_sel(setup):
             np.testing.assert_allclose(part[:, s], full[:, s], atol=1e-12)
         else:
             assert np.all(part[:, s] == 0.0)
+
+
+def test_pair_chunking_parity(setup):
+    """The heavy-pair tier is chunked along the pair axis (one unchunked
+    launch compiled a 64 GB allocation at 302 AO, round 5); forcing tiny
+    chunks must reproduce the single-launch result."""
+    import joltqc_tpu.dft.mixed as mixed
+
+    mol, layout, ni, grids, dm_int = setup
+    old = mixed._PAIR_CHUNK
+    try:
+        r1 = mixed.eval_rho_mixed(ni, grids, dm_int, "mgga", layout, 1e-2)
+        mixed._PAIR_CHUNK = 16
+        r2 = mixed.eval_rho_mixed(ni, grids, dm_int, "mgga", layout, 1e-2)
+        np.testing.assert_allclose(r1, r2, atol=1e-10)
+        rng = np.random.default_rng(3)
+        wv = rng.standard_normal((5, len(grids.coords))) * grids.weights
+        v2 = mixed.eval_vxc_mixed(ni, grids, wv, "mgga", layout, 1e-2)
+        mixed._PAIR_CHUNK = old
+        v1 = mixed.eval_vxc_mixed(ni, grids, wv, "mgga", layout, 1e-2)
+        np.testing.assert_allclose(v1, v2, atol=1e-12)
+    finally:
+        mixed._PAIR_CHUNK = old
