@@ -264,6 +264,8 @@ def _vxc_heavy_fn(nblk, P, K, family):
 # compiled a 64 GB allocation and aborted).  8192 pairs x 1024 points
 # keeps every intermediate ~64 MB; rho chunks add, vxc chunks concat.
 _PAIR_CHUNK = int(os.environ.get("JQC_MIXED_PAIR_CHUNK", "8192"))
+# grid blocks per heavy-tier launch (same transient-size rationale)
+_BLOCK_CHUNK = int(os.environ.get("JQC_MIXED_BLOCK_CHUNK", "64"))
 
 
 def _pack_slices(pack, pc):
@@ -329,17 +331,29 @@ def eval_rho_mixed(ni: NumInt, grids, dm_int, family, layout,
     dmp[sel] = dm_int[pack["ai"][sel], pack["aj"][sel]]
     blocks, N = _blocked(grids.coords, ni.block)
     sub = blocks if block_sel is None else _select_blocks(blocks, block_sel)
-    sub_df = df.from_f64(sub)
+    # chunk the grid-block axis as well: a single launch scanning many
+    # hundreds of blocks held multi-GB transients and crashed the TPU
+    # worker at 0029 scale (round 5); pad the last slice so only one
+    # program shape compiles per (pair-chunk, family) signature
+    nb = _BLOCK_CHUNK
     heavy = None
     for s, sp in enumerate(_pack_slices(pack, _PAIR_CHUNK)):
         dmp_s = dmp[s * _PAIR_CHUNK : s * _PAIR_CHUNK + len(sp["ai"])]
-        fn = _rho_heavy_fn(
-            len(sub), len(dmp_s), sp["exps_a"].shape[1], family
-        )
         dmp_df = df.from_f64(dmp_s)
         dmp_df = df.DF64(dmp_df.hi[None, :], dmp_df.lo[None, :])
-        out = fn(sub_df, _pack_dev(sp), dmp_df)
-        part = np.asarray(df.to_f64(out), np.float64)  # (nsub, rows, G)
+        pk_dev = _pack_dev(sp)
+        parts = []
+        for b0 in range(0, len(sub), nb):
+            sl = sub[b0 : b0 + nb]
+            npad = min(nb, len(sub)) - len(sl)
+            if npad:
+                sl = np.concatenate([sl, np.zeros((npad,) + sl.shape[1:])])
+            fn = _rho_heavy_fn(
+                len(sl), len(dmp_s), sp["exps_a"].shape[1], family
+            )
+            out = np.asarray(df.to_f64(fn(df.from_f64(sl), pk_dev, dmp_df)))
+            parts.append(out[: len(sl) - npad])
+        part = np.concatenate(parts)  # (nsub, rows, G)
         heavy = part if heavy is None else heavy + part
     rows = heavy.shape[1]
     B = ni.block
@@ -389,16 +403,27 @@ def eval_vxc_mixed(ni: NumInt, grids, wv, family, layout,
                 [wv_sub, np.zeros((npad,) + wv_sub.shape[1:])]
             )
         blocks, wv_blocks = sub, wv_sub
-    blocks_df = df.from_f64(blocks)
-    wv_df = df.from_f64(wv_blocks)
+    nb = _BLOCK_CHUNK
+    nblk_pad = min(nb, len(blocks))
     parts = []
     for sp in _pack_slices(pack, _PAIR_CHUNK):
+        pk_dev = _pack_dev(sp)
         fn = _vxc_heavy_fn(
-            len(blocks), len(sp["ai"]), sp["exps_a"].shape[1], family
+            nblk_pad, len(sp["ai"]), sp["exps_a"].shape[1], family
         )
-        parts.append(
-            np.asarray(df.to_f64(fn(blocks_df, wv_df, _pack_dev(sp))))
-        )
+        acc = None
+        for b0 in range(0, len(blocks), nb):
+            bl = blocks[b0 : b0 + nb]
+            wl = wv_blocks[b0 : b0 + nb]
+            npad = nblk_pad - len(bl)
+            if npad:
+                bl = np.concatenate([bl, np.zeros((npad,) + bl.shape[1:])])
+                wl = np.concatenate([wl, np.zeros((npad,) + wl.shape[1:])])
+            out = np.asarray(
+                df.to_f64(fn(df.from_f64(bl), df.from_f64(wl), pk_dev))
+            )
+            acc = out if acc is None else acc + out
+        parts.append(acc)
     vals = np.concatenate(parts)
     sel = pack["ai"] >= 0
     mat[pack["ai"][sel], pack["aj"][sel]] = vals[sel]

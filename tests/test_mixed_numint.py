@@ -86,16 +86,20 @@ def test_pair_chunking_parity(setup):
 
     mol, layout, ni, grids, dm_int = setup
     old = mixed._PAIR_CHUNK
+    oldb = mixed._BLOCK_CHUNK
     try:
         r1 = mixed.eval_rho_mixed(ni, grids, dm_int, "mgga", layout, 1e-2)
         mixed._PAIR_CHUNK = 16
+        mixed._BLOCK_CHUNK = 2
         r2 = mixed.eval_rho_mixed(ni, grids, dm_int, "mgga", layout, 1e-2)
         np.testing.assert_allclose(r1, r2, atol=1e-10)
         rng = np.random.default_rng(3)
         wv = rng.standard_normal((5, len(grids.coords))) * grids.weights
         v2 = mixed.eval_vxc_mixed(ni, grids, wv, "mgga", layout, 1e-2)
         mixed._PAIR_CHUNK = old
+        mixed._BLOCK_CHUNK = oldb
         v1 = mixed.eval_vxc_mixed(ni, grids, wv, "mgga", layout, 1e-2)
-        np.testing.assert_allclose(v1, v2, atol=1e-12)
+        np.testing.assert_allclose(v1, v2, atol=1e-10)
     finally:
         mixed._PAIR_CHUNK = old
+        mixed._BLOCK_CHUNK = oldb
