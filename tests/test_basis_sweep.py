@@ -38,7 +38,17 @@ def _ref_jk(mol, dm):
     return vj, vk
 
 
-@pytest.mark.parametrize("basis", ["sto-3g", "6-31g", "6-31g*", "def2-svp"])
+# d-shell bases compile multi-minute DF64-emulation class sets on the
+# 1-CPU box, and running MANY of them in one pytest process accumulates
+# XLA:CPU compile memory until it segfaults (observed r5 at
+# nh3/def2-svp after ~35 prior tests) -- keep them in the slow tier,
+# which runs with per-worker process recycling.
+@pytest.mark.parametrize(
+    "basis",
+    ["sto-3g", "6-31g",
+     pytest.param("6-31g*", marks=pytest.mark.slow),
+     pytest.param("def2-svp", marks=pytest.mark.slow)],
+)
 def test_h2o_jk_sweep_mixed(basis):
     mol = Molecule.from_atom_string(H2O, basis=basis)
     dm = _rand_sym_dm(mol.nao, seed=11)
@@ -49,7 +59,10 @@ def test_h2o_jk_sweep_mixed(basis):
     assert np.abs(vk - vk_ref).max() < 1e-6, (basis, np.abs(vk - vk_ref).max())
 
 
-@pytest.mark.parametrize("basis", ["6-31g", "def2-svp"])
+@pytest.mark.parametrize(
+    "basis",
+    ["6-31g", pytest.param("def2-svp", marks=pytest.mark.slow)],
+)
 def test_nh3_jk_sweep_df64(basis):
     mol = Molecule.from_atom_string(NH3, basis=basis)
     dm = _rand_sym_dm(mol.nao, seed=12)
